@@ -1,0 +1,404 @@
+"""Streaming HTML tree builder + the 13 NodeProxy accessors.
+
+The container has no lxml/html5lib, so this builds a light DOM on
+stdlib ``html.parser`` (C-accelerated tokenizer underneath). It
+implements the accessor facade the RDFa algorithm needs, mirroring
+the reference's NodeProxy:
+
+  - language (xml:lang ≻ lang):  /root/reference/lib/rdf/rdfa/reader/nokogiri.rb:36-45
+  - base (xml:base):             nokogiri.rb:49-53
+  - text_content? / children:    nokogiri.rb:69-90
+  - namespaces (xmlns walk):     nokogiri.rb:78-82 + reader.rb:652-663
+  - inner_text (entity-decoded): nokogiri.rb:96-101 (Nokogiri-native decode;
+    here ``convert_charrefs=True`` decodes during tokenization)
+  - host/version detection:      nokogiri.rb:190-272
+
+Parsing is bounded-memory per document (one DOM per page inside the
+Arrow batch loop); the tree is discarded after each row.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# minimal HTML5 implied-end-tag table: starting <key> closes an open <value>
+_CLOSES = {
+    "li": {"li"},
+    "dt": {"dd", "dt"},
+    "dd": {"dd", "dt"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "tbody": {"thead", "tbody", "tr", "td", "th"},
+    "tfoot": {"thead", "tbody", "tr", "td", "th"},
+    "option": {"option"},
+    "optgroup": {"option", "optgroup"},
+}
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details div dl fieldset figcaption "
+    "figure footer form h1 h2 h3 h4 h5 h6 header hr main menu nav ol p pre "
+    "section table ul".split()
+)
+for _t in _P_CLOSERS:
+    _CLOSES.setdefault(_t, set()).add("p")
+
+# elements whose end tag may be implied by the parent closing
+_HEAD_ONLY = frozenset("title meta style".split())
+
+
+class Comment:
+    __slots__ = ("data",)
+
+    def __init__(self, data: str):
+        self.data = data
+
+
+class Element:
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name: str, attrs: dict, parent=None):
+        self.name = name
+        self.attrs = attrs
+        self.children: list = []  # str | Element | Comment
+        self.parent = parent
+
+    # --- NodeProxy facade -------------------------------------------
+    def attribute(self, name: str):
+        return self.attrs.get(name)
+
+    @property
+    def language(self):
+        # HTML5 3.2.3.3: xml:lang wins over lang (nokogiri.rb:36-45)
+        v = self.attrs.get("xml:lang")
+        if v is None:
+            v = self.attrs.get("lang")
+        return v
+
+    @property
+    def base(self):
+        return self.attrs.get("xml:base")
+
+    def element_children(self):
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def text_content(self) -> bool:
+        """True if all children are text nodes (nokogiri.rb:69-73)."""
+        return all(isinstance(c, str) for c in self.children)
+
+    def namespaces(self) -> dict:
+        """xmlns declarations on this element: {prefix-or-None: href}
+        (reader.rb:652-663 HTML-parsing fallback)."""
+        out = {}
+        for k, v in self.attrs.items():
+            if k == "xmlns":
+                out[None] = v
+            elif k.startswith("xmlns:"):
+                out[k[6:]] = v
+        return out
+
+    @property
+    def inner_text(self) -> str:
+        parts: list[str] = []
+        stack = list(reversed(self.children))
+        while stack:
+            c = stack.pop()
+            if isinstance(c, str):
+                parts.append(c)
+            elif isinstance(c, Element):
+                stack.extend(reversed(c.children))
+        return "".join(parts)
+
+    @property
+    def inner_html(self) -> str:
+        return "".join(serialize_node(c) for c in self.children)
+
+    def path(self) -> str:
+        """Rough XPath for diagnostics (processor-graph PTR context)."""
+        segs = []
+        node = self
+        while node is not None:
+            parent = node.parent
+            if parent is not None:
+                idx = 1 + sum(
+                    1
+                    for s in parent.children
+                    if isinstance(s, Element) and s.name == node.name and _precedes(parent, s, node)
+                )
+                segs.append("%s[%d]" % (node.name, idx))
+            else:
+                segs.append(node.name)
+            node = parent
+        return "/" + "/".join(reversed(segs))
+
+    def __repr__(self):  # pragma: no cover
+        return "<Element %s %r>" % (self.name, self.attrs)
+
+
+def _precedes(parent, a, b) -> bool:
+    for c in parent.children:
+        if c is b:
+            return False
+        if c is a:
+            return True
+    return False
+
+
+_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
+_ESC_RE = re.compile(r"[&<>]")
+
+
+def _esc_text(s: str) -> str:
+    return _ESC_RE.sub(lambda m: _ESC[m.group()], s)
+
+
+def _esc_attr(s: str) -> str:
+    return _esc_text(s).replace('"', "&quot;")
+
+
+def serialize_node(node, xmlish: bool = False) -> str:
+    """HTML serialization of a node (for rdf:HTML literals and
+    <script> raw content reconstruction; reader.rb:1180-1191)."""
+    if isinstance(node, str):
+        return _esc_text(node)
+    if isinstance(node, Comment):
+        return "<!--%s-->" % node.data
+    parts = ["<", node.name]
+    for k, v in node.attrs.items():
+        parts.append(' %s="%s"' % (k, _esc_attr(v)))
+    if not node.children and node.name in VOID_ELEMENTS and not xmlish:
+        parts.append(">")
+        return "".join(parts)
+    parts.append(">")
+    for c in node.children:
+        parts.append(serialize_node(c, xmlish))
+    parts.append("</%s>" % node.name)
+    return "".join(parts)
+
+
+def c14n_children(element: Element, language, namespaces: dict) -> str:
+    """Approximate exclusive-XML-c14n of element children for
+    rdf:XMLLiteral (reader.rb:1155-1177): in-scope namespace
+    declarations and xml:lang are merged onto top-level child
+    elements (child declarations win). The W3C suite's own runs skip
+    the strict-c14n cases (suite_spec.rb:17), mirrored in our tests."""
+    out = []
+    for c in element.children:
+        if isinstance(c, Element):
+            attrs = dict(c.attrs)
+            for prefix, href in namespaces.items():
+                key = "xmlns" if prefix in (None, "") else "xmlns:%s" % prefix
+                attrs.setdefault(key, href)
+            if language is not None:
+                attrs.setdefault("xml:lang", language)
+            clone = Element(c.name, attrs)
+            clone.children = c.children
+            out.append(serialize_node(clone, xmlish=True))
+        else:
+            out.append(serialize_node(c))
+    return "".join(out)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root_children: list = []
+        self.stack: list[Element] = []
+        self.doctype: str = ""
+
+    # -- helpers --
+    def _append(self, node):
+        if self.stack:
+            self.stack[-1].children.append(node)
+        else:
+            self.root_children.append(node)
+
+    def handle_decl(self, decl):
+        if not self.doctype:
+            self.doctype = "<!%s>" % decl
+
+    def handle_starttag(self, tag, attrs):
+        # implied end tags
+        close = _CLOSES.get(tag)
+        if close:
+            while self.stack and self.stack[-1].name in close:
+                self.stack.pop()
+        if tag == "body":
+            # body start implies head is closed
+            while self.stack and self.stack[-1].name != "html":
+                self.stack.pop()
+        attrd = {}
+        for k, v in attrs:
+            if k not in attrd:
+                attrd[k] = v if v is not None else ""
+        parent = self.stack[-1] if self.stack else None
+        el = Element(tag, attrd, parent)
+        self._append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        attrd = {}
+        for k, v in attrs:
+            if k not in attrd:
+                attrd[k] = v if v is not None else ""
+        parent = self.stack[-1] if self.stack else None
+        self._append(Element(tag, attrd, parent))
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].name == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignored (HTML5 parse-error recovery)
+
+    def handle_data(self, data):
+        if data:
+            top = self.stack[-1] if self.stack else None
+            if top is not None and top.children and isinstance(top.children[-1], str):
+                top.children[-1] += data
+            else:
+                self._append(data)
+
+    def handle_comment(self, data):
+        self._append(Comment(data))
+
+    def unknown_decl(self, data):
+        # <![CDATA[...]]> in foreign content: treat payload as text
+        if data.startswith("CDATA["):
+            self.handle_data(data[6:])
+
+
+def _reparent(el: Element, parent: Element | None):
+    # iterative — real web pages nest arbitrarily deep
+    stack = [(el, parent)]
+    while stack:
+        node, par = stack.pop()
+        node.parent = par
+        for c in node.children:
+            if isinstance(c, Element):
+                stack.append((c, node))
+
+
+def parse_html(text: str):
+    """Parse an HTML document → (root Element <html>, doctype string).
+
+    Normalizes to an html/(head)/body superstructure the way an HTML5
+    tree builder does, so the head|body subject rules (reader.rb:905-911)
+    and root detection behave as with Nokogiri::HTML5.
+    """
+    tb = _TreeBuilder()
+    tb.feed(text)
+    tb.close()
+
+    nodes = tb.root_children
+    html = next(
+        (n for n in nodes if isinstance(n, Element) and n.name == "html"), None
+    )
+    if html is None:
+        html = Element("html", {})
+        html.children = [
+            n for n in nodes if isinstance(n, Element) or (isinstance(n, str) and n.strip())
+        ]
+    has_body = any(
+        isinstance(c, Element) and c.name in ("body", "frameset")
+        for c in html.children
+    )
+    if not has_body:
+        head = next(
+            (c for c in html.children if isinstance(c, Element) and c.name == "head"),
+            None,
+        )
+        body = Element("body", {})
+        new_children = []
+        moved = False
+        for c in html.children:
+            if c is head:
+                new_children.append(c)
+            elif isinstance(c, Element) and c.name in _HEAD_ONLY and not moved and head is None:
+                new_children.append(c)
+            else:
+                if isinstance(c, str) and not c.strip() and not moved:
+                    new_children.append(c)
+                    continue
+                body.children.append(c)
+                moved = True
+        new_children.append(body)
+        html.children = new_children
+    _reparent(html, None)
+    return html, tb.doctype
+
+
+# --- host language / version detection (nokogiri.rb:190-272) -----------
+
+_DOCTYPE_RE = re.compile(r"<!DOCTYPE[^>]*>", re.I | re.S)
+_ROOT_RE = re.compile(r"<([a-zA-Z][^\s/>]*)[^>]*>")
+_VERSION_RE = re.compile(r'version\s*=\s*"([^"]+)"', re.S)
+_META_CHARSET_RE = re.compile(r'<meta[^>]+charset\s*=\s*["\']?([A-Za-z0-9_\-]+)', re.I)
+
+
+def detect_host_language_version(
+    head_bytes: bytes | str,
+    host_language: str | None = None,
+    version: str | None = None,
+):
+    """Sniff (host_language, version) from the first ~1KB, mirroring
+    nokogiri.rb:190-272. Returns (host_language, version)."""
+    if host_language and version:
+        return host_language, version
+    if isinstance(head_bytes, bytes):
+        head = head_bytes[:1000].decode("utf-8", "replace")
+    else:
+        head = head_bytes[:1000]
+
+    m = _DOCTYPE_RE.search(head)
+    doc_type_string = m.group(0) if m else ""
+    root_m = None
+    for rm in _ROOT_RE.finditer(head):
+        if not rm.group(1).startswith(("!", "?")):
+            root_m = rm
+            break
+    root = root_m.group(0) if root_m else ""
+    root_element = root_m.group(1).lower() if root_m else ""
+    vm = _VERSION_RE.search(root)
+    version_attr = vm.group(1) if vm else ""
+
+    if version is None:
+        if "RDFa 1.0" in doc_type_string or "RDFa 1.0" in version_attr:
+            version = "rdfa1.0"
+        elif "RDFa 1.1" in version_attr:
+            version = "rdfa1.1"
+        else:
+            version = "rdfa1.1"
+
+    if host_language is None:
+        if version == "rdfa1.0" and re.search(r"html", doc_type_string, re.I):
+            host_language = "xhtml1"
+        elif re.search(r"html 4", doc_type_string, re.I):
+            host_language = "html4"
+        elif re.search(r"xhtml", doc_type_string, re.I):
+            host_language = "xhtml1"
+        elif root_element == "svg":
+            host_language = "svg"
+        else:
+            host_language = "html5"
+    return host_language, version
+
+
+def sniff_charset(head_bytes: bytes) -> str:
+    m = _META_CHARSET_RE.search(head_bytes[:1024].decode("latin-1", "replace"))
+    return m.group(1).lower() if m else "utf-8"
+
+
+def decode_html(raw: bytes) -> str:
+    charset = sniff_charset(raw)
+    try:
+        return raw.decode(charset, "replace")
+    except LookupError:
+        return raw.decode("utf-8", "replace")
