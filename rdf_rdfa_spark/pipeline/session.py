@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the contract environment (local[N], 32 threads, 128 GiB)
+but every knob is the one you'd set on a 1000-executor cluster too:
+AQE (coalesce + skew-join), Arrow batch sizing for page-sized rows,
+and shuffle partitions proportional to parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rdf-rdfa-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 256,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.master("local[%d]" % cores)
+        .appName(app_name)
+        # AQE: runtime coalesce of small shuffle partitions + skew-join
+        # splitting for template-heavy hosts (SURVEY.md §4)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # HTML pages are KB-to-hundreds-of-KB each: bound Arrow batches
+        # by rows so a batch of large pages stays within worker memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet scan parallelism at 100 TB: default 128 MB splits are
+        # right; don't override files.maxPartitionBytes here
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

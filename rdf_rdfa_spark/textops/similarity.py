@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with pure JVM expressions
+(zip_with product + aggregate sum — whole-stage codegen; no Python).
+Scale path: random-hyperplane LSH bucketing so each query probes only
+its bucket (and optionally neighboring buckets), turning the全-corpus
+scan into a bucket-local join. Hyperplanes are derived from SplitMix64
+on a fixed seed — identical on every executor with no broadcast of
+random state.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..pipeline.canonicalize import _splitmix64
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Brute-force exact top-k: broadcast the (small) query set against
+    the full vector corpus — one pass over the big side, no shuffle of
+    the corpus; only the per-query top-k heap shuffles (rows = |Q|·k)."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .withColumn("cosine", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+        .select("qid", "vec_id", "cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", "cosine")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7):
+    """Deterministic pseudo-random unit hyperplanes."""
+    g = _splitmix64(seed)
+    planes = []
+    for _ in range(n_planes):
+        comps = [((next(g) % 2_000_001) / 1_000_000.0) - 1.0 for _ in range(dim)]
+        norm = math.sqrt(sum(c * c for c in comps)) or 1.0
+        planes.append([c / norm for c in comps])
+    return planes
+
+
+def lsh_bucket_col(vec_col, planes) -> "F.Column":
+    """Sign-bit signature of a vector against the hyperplanes → int
+    bucket id (JVM expressions only)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(c) for c in p])
+        bit = (_dot(F.transform(vec_col, lambda x: x.cast("double")), arr) > 0
+               ).cast("int")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                 n_planes: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding", qid_col: str = "qid",
+                 qvec_col: str = "qvec") -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket. At 100 TB
+    the bucket column is a partition key of the materialized index —
+    the scan prunes to 1/2^n_planes of the corpus per query."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias("qv"),
+        lsh_bucket_col(F.col(qvec_col), planes).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .withColumn("cosine", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+        .select("qid", "vec_id", "cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", "cosine")
+    )
