@@ -40,6 +40,9 @@ def run_bench(sf_dir: str, cores: int, repeat: int = BENCH_REPEAT) -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # warmup: JVM/codegen/python-worker spin-up out of the timed region
+    spark.range(10 ** 7).selectExpr("sum(id)").collect()
+
     # q1: flagship — synthesize pages + full RDFa extraction
     t0 = time.time()
     pages = corpus.pages_df(spark, sf_dir, repeat=repeat)

@@ -157,5 +157,12 @@ def pages_df(spark, sf_dir: str, repeat: int = 1):
         docs = docs.crossJoin(
             spark.range(repeat).withColumnRenamed("id", "_r")
         ).withColumn("doc_id", F.col("doc_id") + F.col("_r") * n).drop("_r")
+    # the test parquet is a single tiny file → a single input split; at
+    # 100 TB the scan has thousands of splits, but the engine must not
+    # let a small upstream starve the parse stage — spread rows across
+    # the cluster before the (expensive) UDF stage
+    parallelism = spark.sparkContext.defaultParallelism * 2
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     docs.createOrReplaceTempView("documents")
     return spark.sql(pages_sql("spark"))

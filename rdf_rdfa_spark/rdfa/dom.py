@@ -286,18 +286,27 @@ def _reparent(el: Element, parent: Element | None):
                 stack.append((c, node))
 
 
-def parse_html(text: str):
-    """Parse an HTML document → (root Element <html>, doctype string).
+def parse_html(text: str, html_host: bool = True):
+    """Parse an HTML document → (root Element, doctype string).
 
-    Normalizes to an html/(head)/body superstructure the way an HTML5
-    tree builder does, so the head|body subject rules (reader.rb:905-911)
-    and root detection behave as with Nokogiri::HTML5.
+    For HTML host languages, normalizes to an html/(head)/body
+    superstructure the way an HTML5 tree builder does, so the
+    head|body subject rules (reader.rb:905-911) and root detection
+    behave as with Nokogiri::HTML5. For xml/svg hosts
+    (html_host=False) the first element IS the root — no wrapping
+    (Nokogiri::XML semantics).
     """
     tb = _TreeBuilder()
     tb.feed(text)
     tb.close()
 
     nodes = tb.root_children
+    if not html_host:
+        root = next((n for n in nodes if isinstance(n, Element)), None)
+        if root is None:
+            root = Element("html", {})
+        _reparent(root, None)
+        return root, tb.doctype
     html = next(
         (n for n in nodes if isinstance(n, Element) and n.name == "html"), None
     )

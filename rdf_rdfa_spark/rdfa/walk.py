@@ -261,19 +261,21 @@ class RdfaWalker:
         return self.triples
 
     def _doc_base(self, root: Element):
-        """<base href> for HTML hosts, xml:base on root otherwise
-        (nokogiri.rb:299-311)."""
+        """<base href> for HTML hosts, xml:base on root otherwise —
+        each JOINED against the document URL, so relative @href bases
+        work (nokogiri.rb:299-311: ``base.join(...)``)."""
         base = self.base_uri
         if self.host_language in _HTML_HOSTS:
             for head in root.element_children():
                 if head.name == "head":
                     for el in head.element_children():
                         if el.name == "base" and el.attrs.get("href"):
-                            return el.attrs["href"].split("#")[0]
+                            href = el.attrs["href"].split("#")[0]
+                            return R.resolve(base, href) if base else href
         else:
             xb = root.attrs.get("xml:base")
             if xb:
-                return xb
+                return R.resolve(base, xb) if base else xb
         return base
 
     # --- property copying (rdfa:copy / rdfa:Pattern) -------------------
@@ -832,8 +834,11 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
         text = decode_html(html)
     else:
         text = html
+    # only html4/html5 get HTML5 tree construction (implied html/body);
+    # xhtml1/xhtml5/xml/svg parse as XML — first element is the root
+    # (nokogiri.rb:173-185 parser selection)
     hl, ver = detect_host_language_version(text, host_language, version)
-    root, _doctype = parse_html(text)
+    root, _doctype = parse_html(text, html_host=hl in ("html4", "html5"))
     w = RdfaWalker(url, host_language=hl, version=ver, rdfagraph=rdfagraph,
                    reference_folding=reference_folding,
                    processor_info=processor_info)
