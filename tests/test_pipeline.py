@@ -191,3 +191,103 @@ def test_multimodal_stub(spark, sf_dir):
     assert len(feats) == 20
     assert feats["n_bytes"].gt(0).all()
     assert feats["width"].between(16, 79).all()
+
+
+def test_expansion_spec_rules(spark):
+    """Per-rule goldens from /root/reference/spec/expansion_spec.rb:88-135
+    over the EXP vocabulary (expansion_spec.rb:3-8)."""
+    from rdf_rdfa_spark.pipeline.expand import VOCAB_REGISTRY, entail
+
+    EXPV = "http://example.org/vocab#"
+    FOAF = "http://xmlns.com/foaf/0.1/"
+    ME = "http://example/#me"
+    tbox = spark.createDataFrame(VOCAB_REGISTRY[EXPV],
+                                 "sub string, rel string, sup string")
+    cases = {
+        "prp-spo1": ([(ME, EXPV + "name", "Gregg Kellogg")],
+                     [(ME, FOAF + "name", "Gregg Kellogg")]),
+        "prp-eqp1": ([(ME, EXPV + "namee", "Gregg Kellogg")],
+                     [(ME, FOAF + "name", "Gregg Kellogg")]),
+        "prp-eqp2": ([(ME, FOAF + "name", "Gregg Kellogg")],
+                     [(ME, EXPV + "namee", "Gregg Kellogg")]),
+        "cax-sco": ([(ME, RDF_TYPE, EXPV + "Person")],
+                    [(ME, RDF_TYPE, FOAF + "Person")]),
+        "cax-eqc1": ([(ME, RDF_TYPE, EXPV + "Persone")],
+                     [(ME, RDF_TYPE, FOAF + "Person")]),
+        "cax-eqc2": ([(ME, RDF_TYPE, FOAF + "Person")],
+                     [(ME, RDF_TYPE, EXPV + "Persone")]),
+    }
+    for name, (abox_rows, entailed) in cases.items():
+        abox = spark.createDataFrame(abox_rows,
+                                     "subj string, pred string, obj string")
+        got = {tuple(r) for r in entail(abox, tbox).collect()}
+        assert set(abox_rows) <= got, name
+        for t in entailed:
+            assert t in got, (name, sorted(got))
+
+
+def test_vocab_expansion_end_to_end(spark):
+    """Page declares @vocab → usesVocabulary triple → expand() joins
+    the offline vocabulary T-box (reference reader option
+    vocab_expansion: true, reader.rb:451)."""
+    from rdf_rdfa_spark.pipeline.expand import expand
+
+    html = ('<html><body><div about="http://example/#me" '
+            'vocab="http://example.org/vocab#" typeof="Person">'
+            '<span property="name">Gregg</span></div></body></html>')
+    pages = spark.createDataFrame(
+        [("http://x.example/", html.encode())], "url string, html binary")
+    triples = extract_triples(pages)
+    expanded = {(r["subj"], r["pred"], r["obj"])
+                for r in expand(triples).collect()}
+    FOAF = "http://xmlns.com/foaf/0.1/"
+    assert ("http://example/#me", RDF_TYPE, FOAF + "Person") in expanded
+    assert ("http://example/#me", FOAF + "name", "Gregg") in expanded
+
+
+def test_writer_roundtrip(spark, sf_dir):
+    """Serialize a graph to XHTML+RDFa and re-parse with our reader —
+    the result must be identical (the reference's writer round-trip
+    strategy, writer_spec.rb:546)."""
+    from rdf_rdfa_spark.pipeline.extract import rows_for_document
+    from rdf_rdfa_spark.writer import df_to_rdfa_html
+
+    pages = corpus.pages_df(spark, sf_dir)
+    triples = extract_triples(pages).filter(
+        "url = 'http://host0.example.org/page/1'")
+    html = df_to_rdfa_html(triples)
+    reparsed = {
+        (r[1], r[2], r[3], r[4], r[5] or None, r[6] or None)
+        for r in rows_for_document(html, "http://roundtrip.example/",
+                                   skolemize=False)
+    }
+    original = {
+        (r["subj"], r["pred"], r["obj"], r["obj_kind"], r["lang"], r["datatype"])
+        for r in triples.collect()
+    }
+    assert reparsed == original, (sorted(original - reparsed)[:3],
+                                  sorted(reparsed - original)[:3])
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The same UDF runs unchanged under Structured Streaming and
+    produces exactly the batch output (availableNow drain)."""
+    from rdf_rdfa_spark.pipeline.streaming import stream_extract
+
+    pages = corpus.pages_df(spark, sf_dir).limit(100).cache()
+    in_dir = str(tmp_path / "pages_in")
+    pages.write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extract(spark, in_dir, out_dir, ckpt, max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    want = {tuple(r) for r in extract_triples(spark.read.parquet(in_dir)).collect()}
+    assert got == want and len(got) > 0
+
+    # resume: a second availableNow run ingests nothing new
+    q2 = stream_extract(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(got)
