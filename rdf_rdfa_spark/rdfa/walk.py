@@ -324,12 +324,41 @@ class RdfaWalker:
             del self.triples[t]
 
     # --- the 14 steps ---------------------------------------------------
+    # attributes that force the full per-element processing; anything
+    # else (class/style/width/...) cannot change the evaluation context
+    _RELEVANT_ATTRS = frozenset(
+        "about content datatype datetime href id inlist property rel "
+        "resource rev role src typeof value vocab prefix lang".split()
+    ) | {"xml:lang", "xml:base", "xmlns"}
+
+    def _inert(self, element: Element) -> bool:
+        """True when the element can neither emit triples nor change
+        the child evaluation context — the dominant case on real web
+        pages. Mirrors the reference's skip+reused-ec fast path
+        (reader.rb:1302-1322) but decided upfront, skipping the dict
+        clones entirely."""
+        if element.name in ("script", "head", "body"):
+            return False
+        a = element.attrs
+        if not a:
+            return True
+        rel = self._RELEVANT_ATTRS
+        for k in a:
+            if k in rel or k.startswith("xmlns:"):
+                return False
+        return True
+
     def _traverse(self, root: Element, root_ec: EvaluationContext):
         stack = [("enter", root, root_ec)]
         while stack:
             frame = stack.pop()
             if frame[0] == "enter":
                 _, element, ec = frame
+                if element is not root and self._inert(element):
+                    # pure pass-through: children inherit ec unchanged
+                    for child in reversed(element.element_children()):
+                        stack.append(("enter", child, ec))
+                    continue
                 exit_rec = self._enter(element, ec, root)
                 if exit_rec is not None:
                     new_ec, record = exit_rec
@@ -343,17 +372,21 @@ class RdfaWalker:
         version = self.version
         host = self.host_language
 
-        # [Step 1] local variables (reader.rb:726-743)
+        # [Step 1] local variables (reader.rb:726-743). The reference
+        # clones uri/term mappings every element; we copy-on-write:
+        # term_mappings is never mutated during traversal (only merged
+        # from initial contexts), uri_mappings/namespaces only when the
+        # element declares xmlns:*/@prefix.
         recurse = True
         skip = False
         new_subject = None
         typed_resource = None
         current_object_resource = None
-        uri_mappings = dict(ec.uri_mappings)
-        namespaces = dict(ec.namespaces)
+        uri_mappings = ec.uri_mappings
+        namespaces = ec.namespaces
         incomplete_triples: list = []
         language = ec.language
-        term_mappings = dict(ec.term_mappings)
+        term_mappings = ec.term_mappings
         default_vocabulary = ec.default_vocabulary
         list_mapping = ec.list_mapping
 
@@ -371,6 +404,12 @@ class RdfaWalker:
             v = element.attrs.get(a)
             if v is not None:
                 attrs[a] = v.strip()
+
+        if "prefix" in element.attrs or any(
+                k == "xmlns" or k.startswith("xmlns:") for k in element.attrs):
+            uri_mappings = dict(uri_mappings)
+            namespaces = dict(namespaces)
+            self._extract_mappings(element, uri_mappings, namespaces)
 
         # HTML5: with @property, non-CURIE/non-IRI @rel/@rev values are
         # ignored (reader.rb:771-783 + 826-839)
@@ -392,8 +431,8 @@ class RdfaWalker:
                 self.add_triple(iri(base), iri(RDFA_USESVOCABULARY), iri(attrs["vocab"]))
                 default_vocabulary = attrs["vocab"]
 
-        # [Step 3] prefix mappings (reader.rb:643-715)
-        self._extract_mappings(element, uri_mappings, namespaces)
+        # [Step 3] prefix mappings (reader.rb:643-715) — handled above
+        # with copy-on-write of the mapping dicts
 
         # [Step 4] language (reader.rb:812-815)
         lang_attr = element.language
@@ -417,7 +456,7 @@ class RdfaWalker:
                                  ec.parent_subject)
 
         has_rel_rev = "rel" in attrs or "rev" in attrs
-        is_head_body = host in _HTML_HOSTS and _HEAD_BODY_RE.match(element.name)
+        is_head_body = host in _HTML_HOSTS and element.name in ("head", "body")
 
         def res_uri(value):
             return self.process_uri(element, value, base, res_restr,
@@ -603,8 +642,9 @@ class RdfaWalker:
         # [Step 13] build child EC (reader.rb:1301-1341)
         if skip:
             if (language == ec.language
-                    and uri_mappings == ec.uri_mappings
-                    and term_mappings == ec.term_mappings
+                    and (uri_mappings is ec.uri_mappings
+                         or uri_mappings == ec.uri_mappings)
+                    and term_mappings is ec.term_mappings
                     and default_vocabulary == ec.default_vocabulary
                     and base == ec.base
                     and list_mapping is ec.list_mapping):
