@@ -26,7 +26,7 @@ from rdf_rdfa_spark.pipeline.expand import entail
 from rdf_rdfa_spark.pipeline.extract import extract_text, extract_triples
 from rdf_rdfa_spark.pipeline.link import sameas_clusters
 from rdf_rdfa_spark.rdfa.terms import RDF_TYPE
-from rdf_rdfa_spark.textops import dedup, multimodal, quality, similarity
+from rdf_rdfa_spark.textops import dedup, events, multimodal, quality, similarity
 
 CLASS_NS = "http://kg.example.org/class/"
 PROP_NS = "http://kg.example.org/prop/"
@@ -133,6 +133,12 @@ def q_entity_link_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sameas_clusters(triples)
 
 
+def q_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_rdfa_spark.pipeline.skew import host_rollup
+
+    return host_rollup(q_rdfa_extract(spark, sf_dir))
+
+
 # --- dedup family -----------------------------------------------------------
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,6 +221,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "rank")
 
 
+# --- event analytics ---------------------------------------------------------
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.hourly_counts(_events(spark, sf_dir))
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sessionize(_events(spark, sf_dir))
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.props_key_counts(_events(spark, sf_dir))
+
+
 # --- multimodal plumbing -------------------------------------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entail_classes": q_entail_classes,
         "entail_props": q_entail_props,
         "entity_link_sameas": q_entity_link_sameas,
+        "host_rollup": q_host_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -252,6 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_props": q_events_props,
     }
 
 
@@ -397,12 +425,33 @@ def oracle_sql() -> dict[str, str]:
         "entail_classes": _ENTAIL_CLASSES_SQL,
         "entail_props": _ENTAIL_PROPS_SQL,
         "entity_link_sameas": _ENTITY_LINK_SQL,
+        "host_rollup": (
+            "SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, "
+            "COUNT(*) AS n_triples FROM (%s) GROUP BY 1" % triples
+        ),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "quality_scores": _QUALITY_SQL,
         "lang_id": _LANG_ID_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       CAST(FLOOR(SUM(value * 100)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id""",
+        "events_props": """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n
+FROM events GROUP BY 1""",
         # dedup_minhash / dedup_simhash / dedup_clusters / ann_*: hash- or
         # float-order-dependent → rows-only driver check; exactness is
         # covered by pytest against numpy/brute-force references.

@@ -291,3 +291,36 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     q2 = stream_extract(spark, in_dir, out_dir, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == len(got)
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from rdf_rdfa_spark.pipeline.skew import host_rollup
+
+    triples = extract_triples(corpus.pages_df(spark, sf_dir))
+    salted = {(r["host"], r["n_triples"]) for r in host_rollup(triples).collect()}
+    plain = {
+        (r["host"], r["n"])
+        for r in triples.withColumn(
+            "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+        ).groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert salted == plain
+    # the corpus really is skewed: host0 carries the biggest share
+    top = max(plain, key=lambda t: t[1])
+    assert top[0] == "host0.example.org"
+
+
+def test_split_hot_keys(spark):
+    from rdf_rdfa_spark.pipeline.skew import split_hot_keys
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold%d" % i, i) for i in range(20)],
+        "k string, v long",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H")] + [("cold%d" % i, "C%d" % i) for i in range(20)],
+        "k string, tag string",
+    )
+    got = split_hot_keys(big, small, "k", hot_threshold=100)
+    plain = big.join(small, "k")
+    assert got.count() == plain.count() == 520
