@@ -221,6 +221,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "rank")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_ann_topk(
+        _embeddings(spark, sf_dir), _queries_df(spark, sf_dir), k=10,
+        nlist=8, nprobe=4,
+    ).select("qid", "vec_id", "rank")
+
+
 # --- event analytics ---------------------------------------------------------
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,

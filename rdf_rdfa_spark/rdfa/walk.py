@@ -256,9 +256,28 @@ class RdfaWalker:
             if self._initial_vocab:
                 ec.default_vocabulary = self._initial_vocab
         self._traverse(root, ec)
+
+        # embedded RDF/XML and microdata handoffs (SURVEY S8/S9,
+        # reader.rb:430-445): out of scope v1 — emit a warning row so
+        # the drop is visible in the processor graph, never silent
+        if self._subtree_has(root, lambda el: el.name in ("rdf:rdf", "rdf")):
+            self.add_warning(root, "embedded RDF/XML skipped (no reader)")
+        if self._subtree_has(root, lambda el: "itemscope" in el.attrs):
+            self.add_warning(root, "microdata (itemscope) skipped (no reader)")
+
         if self.reference_folding:
             self.fold()
         return self.triples
+
+    @staticmethod
+    def _subtree_has(root: Element, pred) -> bool:
+        stack = [root]
+        while stack:
+            el = stack.pop()
+            if pred(el):
+                return True
+            stack.extend(el.element_children())
+        return False
 
     def _doc_base(self, root: Element):
         """<base href> for HTML hosts, xml:base on root otherwise —

@@ -3,7 +3,7 @@
 Baseline: brute-force cosine top-k with pure JVM expressions
 (zip_with product + aggregate sum — whole-stage codegen; no Python).
 Scale path: random-hyperplane LSH bucketing so each query probes only
-its bucket (and optionally neighboring buckets), turning the全-corpus
+its bucket (and optionally neighboring buckets), turning the full-corpus
 scan into a bucket-local join. Hyperplanes are derived from SplitMix64
 on a fixed seed — identical on every executor with no broadcast of
 random state.
@@ -100,6 +100,95 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         v.join(F.broadcast(q), "bucket")
         .withColumn("cosine", _dot("v", "qv") / (_norm("v") * _norm("qv")))
         .select("qid", "vec_id", "cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", "cosine")
+    )
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path ------------
+
+def _pairwise_best(vectors: DataFrame, centroids: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "v",
+                   n_best: int = 1) -> DataFrame:
+    """Assign each vector to its nearest centroid(s) by cosine
+    (broadcast the centroid table; min_by/Window keeps it one pass)."""
+    scored = (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", _dot(vec_col, "center")
+                    / (_norm(vec_col) * _norm("center")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_best)
+        .drop("_sim", "_r", "center")
+    )
+
+
+def ivf_train(vectors: DataFrame, nlist: int = 16, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Train IVF coarse centroids with a couple of Lloyd rounds,
+    entirely in DataFrame ops (posexplode → per-dimension mean).
+    Deterministic init: evenly-strided vectors by id order."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).cache()
+    n = v.count()
+    stride = max(n // nlist, 1)
+    w = Window.orderBy("vec_id")
+    seeds = (
+        v.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") % stride == 1) | (F.lit(stride) == 1))
+        .limit(nlist)
+        .select(F.col("_rn").alias("cid"), F.col("v").alias("center"))
+    )
+    centroids = seeds
+    for _ in range(iters):
+        assigned = _pairwise_best(v, centroids)
+        centroids = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm"))
+            .select("cid", F.transform("sm", lambda s: s["m"]).alias("center"))
+        )
+        centroids = centroids.localCheckpoint()
+    return centroids
+
+
+def ivf_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                 nlist: int = 16, nprobe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """IVF search: vectors pre-assigned to their nearest centroid
+    (at scale this is the materialized index's partition key); each
+    query probes its nprobe nearest lists only — scan cost =
+    nprobe/nlist of the corpus per query."""
+    centroids = ivf_train(vectors, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    assigned = _pairwise_best(v, centroids)  # (vec_id, v, cid)
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    q_probe = _pairwise_best(
+        q.withColumnRenamed("qid", "vec_id").withColumnRenamed("qv", "v"),
+        centroids, n_best=nprobe,
+    ).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cid")
+    scored = (
+        assigned.join(F.broadcast(q_probe), "cid")
+        .withColumn("cosine", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+        .select("qid", "vec_id", "cosine")
+        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the full KG-construction pipeline.
+
+    spark-submit --py-files dist/rdf_rdfa_spark.zip scripts/run_pipeline.py \
+        --input /path/to/pages_parquet --output /path/to/store \
+        --chunks 64 [--expand] [--link]
+
+Runs extraction → (optional entailment expansion) → (optional entity
+linking) → checkpoint-resumable materialization with per-chunk
+lineage. Re-running with the same --output resumes: completed chunks
+are skipped via their _progress markers.
+
+With --sf-dir instead of --input, synthesizes the deterministic
+CC-style corpus from documents.parquet (testing/bench path).
+
+Package the library for executors with:
+    scripts/package.sh        # → dist/rdf_rdfa_spark.zip
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet dir of pages(url, warc_ts, html, text, lang)")
+    src.add_argument("--sf-dir", help="testdata sf dir (synthesize pages)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--chunks", type=int, default=16)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--expand", action="store_true",
+                    help="apply vocabulary-expansion entailment to the store")
+    ap.add_argument("--link", action="store_true",
+                    help="rewrite subj/obj to canonical sameAs-cluster IRIs")
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from rdf_rdfa_spark import corpus
+    from rdf_rdfa_spark.pipeline import materialize
+    from rdf_rdfa_spark.pipeline.expand import expand
+    from rdf_rdfa_spark.pipeline.link import link_entities
+
+    # under spark-submit the session/master comes from the submit args;
+    # standalone (python scripts/run_pipeline.py) builds a local one
+    active = SparkSession.getActiveSession()
+    if active is None:
+        from rdf_rdfa_spark.pipeline.session import get_spark
+
+        spark = get_spark(app_name="rdfa-kg-pipeline", cores=args.cores)
+    else:
+        spark = active
+
+    if args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        pages = corpus.pages_df(spark, args.sf_dir, repeat=args.repeat)
+
+    manifest = materialize.materialize_resumable(
+        pages, args.output, chunks=args.chunks, buckets=args.buckets)
+
+    if args.expand or args.link:
+        triples = materialize.read_triples(spark, args.output)
+        if args.link:
+            triples = link_entities(triples)
+        if args.expand:
+            triples = expand(triples)
+        out2 = os.path.join(args.output, "triples_refined")
+        triples.write.mode("overwrite").parquet(out2)
+        manifest["refined"] = out2
+
+    summary = materialize.lineage_summary(args.output)
+    print(json.dumps({"manifest": manifest, "lineage": {
+        "pages": summary["pages"], "triples": summary["triples"],
+        "chunks": len(summary["chunks"])}}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

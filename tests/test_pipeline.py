@@ -324,3 +324,19 @@ def test_split_hot_keys(spark):
     got = split_hot_keys(big, small, "k", hot_threshold=100)
     plain = big.join(small, "k")
     assert got.count() == plain.count() == 520
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter("vec_id < 8").selectExpr("vec_id AS qid",
+                                                  "embedding AS qvec")
+    exact = similarity.cosine_topk(emb, queries, k=10).toPandas()
+    approx = similarity.ivf_ann_topk(emb, queries, k=10, nlist=8,
+                                     nprobe=4).toPandas()
+    recalls = []
+    for qid in range(8):
+        e = set(exact[exact.qid == qid]["vec_id"])
+        a = set(approx[approx.qid == qid]["vec_id"])
+        assert qid in a  # self-retrieval
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
