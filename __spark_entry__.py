@@ -159,9 +159,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_df = _dup_corpus(spark, sf_dir)
-    sigs = dedup.minhash_signatures(corpus_df)
-    pairs = dedup.lsh_candidate_pairs(sigs)
-    return dedup.jaccard_verify(pairs, corpus_df, threshold=0.9).select(
+    return dedup.minhash_near_dup_pairs(corpus_df, threshold=0.9).select(
         "a", "b", F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_bp")
     )
 
@@ -172,9 +170,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_df = _dup_corpus(spark, sf_dir)
-    sigs = dedup.minhash_signatures(corpus_df)
-    pairs = dedup.lsh_candidate_pairs(sigs)
-    verified = dedup.jaccard_verify(pairs, corpus_df, threshold=0.9)
+    verified = dedup.minhash_near_dup_pairs(corpus_df, threshold=0.9)
     return dedup.canonical_clusters(verified).select(
         F.col("id").cast("long").alias("id"),
         F.col("canonical").cast("long").alias("canonical"),

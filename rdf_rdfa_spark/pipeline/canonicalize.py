@@ -52,18 +52,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """→ (id, sig array<bigint>). JVM-only expressions."""
     params = permutation_params(num_hashes)
     tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
     def perm(a, b):
         return lambda h: F.pmod(
             F.lit(a) * F.pmod(h, F.lit(_PRIME)) + F.lit(b), F.lit(_PRIME)
         )
 
+    # materialize the token-hash array in its OWN projection: inlining
+    # it into each of the num_hashes array_min expressions makes codegen
+    # re-tokenize and re-hash the text per permutation (measured 10x
+    # slower at 64 hashes — lambda-bound subexpressions are not CSE'd
+    # across expressions)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens, lambda t: F.xxhash64(t)).alias("_h"),
+    )
     sig_exprs = [
-        F.array_min(F.transform(hashes, perm(a, b))).alias("mh%d" % i)
+        F.array_min(F.transform("_h", perm(a, b))).alias("mh%d" % i)
         for i, (a, b) in enumerate(params)
     ]
-    return df.select(F.col(id_col).alias("id"), F.array(*sig_exprs).alias("sig"))
+    return hashed.select("id", F.array(*sig_exprs).alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,

@@ -28,18 +28,16 @@ SAMEAS_PREDICATES = (
 
 
 def canonical_iri_col(col):
-    """Syntactic IRI canonicalization as JVM expressions:
-    lowercase scheme+authority, strip default ports, drop trailing
-    slash on root paths."""
-    c = F.regexp_replace(col, r"^(https?)://([^/]+)", r"$1://$2")  # anchor
-    # lowercase scheme+host
+    """Syntactic IRI canonicalization as JVM expressions: lowercase
+    scheme+authority, strip default http/https ports, add the root
+    slash to authority-only URLs. Non-absolute identifiers (bnodes,
+    urns without //) pass through unchanged."""
     c = F.concat(
         F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)),
         F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", ""),
     )
-    c = F.regexp_replace(c, r"^(https?://[^/?#:]+):(?:80|443)(/|$|\?|#)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https?://[^/?#:]+):(?:80|443)($|[/?#])", r"$1$2")
     c = F.regexp_replace(c, r"^(https?://[^/?#]+)$", r"$1/")
-    # non-absolute IRIs (bnodes, urns) pass through
     return F.when(col.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), c).otherwise(col)
 
 

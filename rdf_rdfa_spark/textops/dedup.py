@@ -142,3 +142,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.9,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """Convenience: signatures → LSH candidates → exact verify, with
+    the signature/candidate intermediates localCheckpointed so the
+    chained plan doesn't recompute the signature stage per consumer
+    (lsh_candidate_pairs reads sigs twice; verify reads pairs once)."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes).localCheckpoint()
+    pairs = lsh_candidate_pairs(sigs, bands=bands).localCheckpoint()
+    return jaccard_verify(pairs, docs, text_col, id_col, threshold)

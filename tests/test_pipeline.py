@@ -340,3 +340,21 @@ def test_ivf_ann_recall(spark, sf_dir):
         assert qid in a  # self-retrieval
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_canonical_iri_col(spark):
+    from rdf_rdfa_spark.pipeline.link import canonical_iri_col
+
+    cases = [
+        ("HTTP://Example.COM/Path?Q=1", "http://example.com/Path?Q=1"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("http://example.com:80", "http://example.com/"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("http://example.com", "http://example.com/"),
+        ("_:b0", "_:b0"),
+        ("urn:ex:s001", "urn:ex:s001"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], "iri string")
+    got = [r["c"] for r in
+           df.select(canonical_iri_col(F.col("iri")).alias("c")).collect()]
+    assert got == [b for _, b in cases], got
