@@ -101,3 +101,21 @@ def lineage_summary(root: str) -> dict:
             out["pages"] += rec.get("pages", 0)
             out["triples"] += rec.get("triples", 0)
     return out
+
+
+def subject_lookup(spark, root: str, subj: str, buckets: int = 64) -> DataFrame:
+    """Point lookup on the materialized store: compute the subject's
+    bucket and filter on the PARTITION columns, so the scan prunes to
+    one bucket directory (1/buckets of the store) before touching row
+    groups — the reason the sink buckets on subject (SURVEY S10)."""
+    from pyspark.sql import Row
+
+    bucket = (
+        spark.createDataFrame([Row(s=subj)])
+        .select(F.pmod(F.xxhash64("s"), F.lit(buckets)).alias("b"))
+        .collect()[0]["b"]
+    )
+    return (
+        read_triples(spark, root)
+        .filter((F.col("bucket") == int(bucket)) & (F.col("subj") == subj))
+    )

@@ -358,3 +358,23 @@ def test_canonical_iri_col(spark):
     got = [r["c"] for r in
            df.select(canonical_iri_col(F.col("iri")).alias("c")).collect()]
     assert got == [b for _, b in cases], got
+
+
+def test_subject_lookup_prunes(spark, sf_dir, tmp_path):
+    from rdf_rdfa_spark.pipeline.materialize import (
+        materialize_resumable, subject_lookup)
+
+    pages = corpus.pages_df(spark, sf_dir).limit(80)
+    root = str(tmp_path / "store2")
+    materialize_resumable(pages, root, chunks=2, buckets=8)
+    from rdf_rdfa_spark.pipeline.materialize import read_triples
+
+    target = read_triples(spark, root).select("subj").first()["subj"]
+    got = subject_lookup(spark, root, target, buckets=8)
+    rows = got.collect()
+    assert rows and all(r["subj"] == target for r in rows)
+    # the physical plan must show a partition filter on bucket
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted") if False else \
+        got._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
