@@ -153,3 +153,48 @@ def test_script_jsonld_warns_not_crashes():
     out, proc, _ = parse_rdfa(html, url=BASE, rdfagraph=("output", "processor"))
     assert not out
     assert any("ld+json" in o[1] for (_, p, o) in proc if o[0] == "literal")
+
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def test_property_href_inlist():
+    # reader_spec "@property with @href in a list"
+    html = ('<div about="http://example">'
+            '<a inlist="" property="rdf:value" href="http://example#foo"></a>'
+            '<a inlist="" property="rdf:value" href="http://example#bar"></a>'
+            '</div>')
+    got = parse("<html><body>%s</body></html>" % html)
+    firsts = {t[2] for t in got if t[1] == I(RDF + "first")}
+    assert firsts == {I("http://example#foo"), I("http://example#bar")}, sorted(got)
+
+
+def test_property_and_rel_href_inlist():
+    html = ('<div about="http://example">'
+            '<a inlist="" property="rdf:value" href="http://example#foo"></a>'
+            '<a inlist="" rel="rdf:value" href="http://example#bar"></a>'
+            '</div>')
+    got = parse("<html><body>%s</body></html>" % html)
+    firsts = {t[2] for t in got if t[1] == I(RDF + "first")}
+    assert firsts == {I("http://example#foo"), I("http://example#bar")}, sorted(got)
+
+
+def test_property_href_empty_datatype():
+    # href becomes the SUBJECT (property+datatype → step-5 else branch)
+    html = '<a href="http://example/" property="rdf:value" datatype="">value</a>'
+    got = parse("<html><body>%s</body></html>" % html)
+    assert (I("http://example/"), I(RDF + "value"), L("value")) in got, sorted(got)
+
+
+def test_property_datatype_beats_language():
+    html = ('<div about="http://example/">'
+            '<span property="rdf:value" lang="en" datatype="xsd:date">value</span></div>')
+    got = parse("<html><body>%s</body></html>" % html)
+    assert (I("http://example/"), I(RDF + "value"),
+            L("value", dt=XSD + "date")) in got
+
+
+def test_content_beats_datetime():
+    html = '<time property="rdf:value" content="c" datetime="2011-06-28">x</time>'
+    got = parse("<html><body>%s</body></html>" % html)
+    assert (I(BASE), I(RDF + "value"), L("c")) in got, sorted(got)
