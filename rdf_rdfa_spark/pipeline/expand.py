@@ -152,22 +152,9 @@ def entail_fixpoint(triples: DataFrame, tbox: DataFrame,
 
 # --- vocabulary-driven expansion (reference `expand`, expansion.rb:16-38) --
 
-# Offline vocabulary registry: vocab IRI → T-box rows (sub, rel, sup).
-# The reference resolves vocabularies via RDF::Vocabulary.find or a
-# network fetch (expansion.rb:21-33); at corpus scale vocabularies must
-# be packaged offline — unresolved ones yield a warning row, never a
-# fetch. The test vocabulary mirrors /root/reference/spec/expansion_spec.rb:3-8.
-FOAF = "http://xmlns.com/foaf/0.1/"
-_EXP = "http://example.org/vocab#"
-
-VOCAB_REGISTRY: dict[str, list] = {
-    _EXP: [
-        (_EXP + "name", RDFS_SUBPROPERTYOF, FOAF + "name"),
-        (_EXP + "namee", OWL_EQUIVPROP, FOAF + "name"),
-        (_EXP + "Person", RDFS_SUBCLASSOF, FOAF + "Person"),
-        (_EXP + "Persone", OWL_EQUIVCLASS, FOAF + "Person"),
-    ],
-}
+# Offline vocabulary registry shared with the per-document walker
+# (rdfa/vocab.py is the single source of truth)
+from ..rdfa.vocab import VOCAB_REGISTRY  # noqa: F401
 
 RDFA_USESVOCABULARY = "http://www.w3.org/ns/rdfa#usesVocabulary"
 

@@ -43,6 +43,7 @@ from .dom import Element, c14n_children, parse_html, detect_host_language_versio
 from .literals import sniff_time_datatype, sniff_value_datatype
 from .ntriples import TurtleParseError, parse_turtle
 from .terms import (
+    RDFA_NS,
     BNODE,
     IRI,
     LITERAL,
@@ -139,6 +140,8 @@ class RdfaWalker:
         rdfagraph=("output",),
         reference_folding: bool = True,
         processor_info: bool = False,
+        processor_ptr: bool = False,
+        vocab_expansion: bool = False,
     ):
         self.base_uri = base_uri
         self.host_language = host_language
@@ -146,6 +149,8 @@ class RdfaWalker:
         self.rdfagraph = set(rdfagraph)
         self.reference_folding = reference_folding
         self.processor_info = processor_info
+        self.processor_ptr = processor_ptr
+        self.vocab_expansion = vocab_expansion
 
         self.triples: dict = {}  # ordered set of (subj, pred, obj) term tuples
         self.processor: list = []  # (subj, pred, obj) rows for the processor graph
@@ -186,24 +191,34 @@ class RdfaWalker:
             return
         self.triples[(subject, predicate, object_)] = None
 
-    def _processor_row(self, cls, message):
+    def _processor_row(self, cls, message, element=None):
         n = self._fresh_bnode()
         self.processor.append((n, iri(RDF_TYPE), iri(cls)))
         self.processor.append((n, iri(DC_DESCRIPTION), literal(message)))
         if self.base_uri:
             self.processor.append((n, iri(RDFA_CONTEXT_PRED), iri(self.base_uri)))
+        # PTR XPath context (reader.rb:544-551); opt-in — the extra
+        # bnode shifts per-document bnode numbering, so the default
+        # stays minimal/deterministic for the value oracles
+        if self.processor_ptr and element is not None:
+            nc = self._fresh_bnode()
+            PTR = "http://www.w3.org/2009/pointers#"
+            self.processor.append((n, iri(RDFA_CONTEXT_PRED), nc))
+            self.processor.append((nc, iri(RDF_TYPE), iri(PTR + "XPathPointer")))
+            self.processor.append((nc, iri(PTR + "expression"),
+                                   literal(element.path())))
 
     def add_info(self, element, message, cls=RDFA_INFO):
         if self.processor_info and "processor" in self.rdfagraph:
-            self._processor_row(cls, message)
+            self._processor_row(cls, message, element)
 
     def add_warning(self, element, message, cls=RDFA_WARNING):
         if "processor" in self.rdfagraph:
-            self._processor_row(cls, message)
+            self._processor_row(cls, message, element)
 
     def add_error(self, element, message, cls=RDFA_ERROR):
         if "processor" in self.rdfagraph:
-            self._processor_row(cls, message)
+            self._processor_row(cls, message, element)
 
     # --- resolution wrappers -----------------------------------------
     def _warn_cb(self, element):
@@ -267,7 +282,53 @@ class RdfaWalker:
 
         if self.reference_folding:
             self.fold()
+        if self.vocab_expansion:
+            self.expand()
         return self.triples
+
+    def expand(self, registry=None):
+        """Per-document vocabulary expansion (reader option
+        vocab_expansion, reader.rb:451; expansion.rb:16-38): collect
+        rdfa:usesVocabulary objects, close their T-boxes from the
+        offline registry, apply the 6 entailment rules in-memory to
+        fixpoint. Unknown vocabularies warn (UnresolvedVocabulary)."""
+        from .vocab import VOCAB_REGISTRY, tbox_closures
+
+        if registry is None:
+            registry = VOCAB_REGISTRY
+        uses = iri(RDFA_USESVOCABULARY)
+        vocabs = [o[1] for (s, p, o) in self.triples if p == uses]
+        rows = []
+        for v_ in vocabs:
+            tbox = registry.get(v_)
+            if tbox is None:
+                self.add_warning(None, "Unresolved vocabulary %s" % v_,
+                                 RDFA_NS + "UnresolvedVocabulary")
+                continue
+            rows.extend(tbox)
+        if not rows:
+            return
+        prop_pairs, class_pairs = tbox_closures(rows)
+        type_p = iri(RDF_TYPE)
+        added = True
+        while added:
+            added = False
+            new = []
+            for (s, p, o) in self.triples:
+                for (p1, p2) in prop_pairs:
+                    if p[1] == p1:
+                        t = (s, iri(p2), o)
+                        if t not in self.triples:
+                            new.append(t)
+                if p == type_p:
+                    for (c1, c2) in class_pairs:
+                        if o[1] == c1:
+                            t = (s, type_p, iri(c2))
+                            if t not in self.triples:
+                                new.append(t)
+            for t in new:
+                self.triples[t] = None
+                added = True
 
     @staticmethod
     def _subtree_has(root: Element, pred) -> bool:
@@ -883,7 +944,8 @@ class RdfaWalker:
 
 def parse_rdfa(html, url=None, host_language=None, version=None,
                rdfagraph=("output",), reference_folding=True,
-               processor_info=False):
+               processor_info=False, processor_ptr=False,
+               vocab_expansion=False):
     """Parse one document → (output_triples, processor_triples, root).
 
     ``html`` may be bytes (charset-sniffed; nokogiri.rb:161-188) or str.
@@ -900,6 +962,7 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
     root, _doctype = parse_html(text, html_host=hl in ("html4", "html5"))
     w = RdfaWalker(url, host_language=hl, version=ver, rdfagraph=rdfagraph,
                    reference_folding=reference_folding,
-                   processor_info=processor_info)
+                   processor_info=processor_info, processor_ptr=processor_ptr,
+                   vocab_expansion=vocab_expansion)
     w.parse(root)
     return list(w.triples), list(w.processor), root

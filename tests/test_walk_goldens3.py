@@ -198,3 +198,38 @@ def test_content_beats_datetime():
     html = '<time property="rdf:value" content="c" datetime="2011-06-28">x</time>'
     got = parse("<html><body>%s</body></html>" % html)
     assert (I(BASE), I(RDF + "value"), L("c")) in got, sorted(got)
+
+
+def test_processor_ptr_context():
+    html = ('<html><body><div><span about="" property="unknownterm">x</span>'
+            '</div></body></html>')
+    out, proc, _ = parse_rdfa(html, url=BASE,
+                              rdfagraph=("output", "processor"),
+                              processor_ptr=True)
+    PTR = "http://www.w3.org/2009/pointers#"
+    exprs = [o[1] for (s, p, o) in proc if p == I(PTR + "expression")]
+    assert exprs and exprs[0].endswith("/span[1]"), (exprs, proc)
+    assert any(o == I(PTR + "XPathPointer") for (_, p, o) in proc)
+
+
+FOAF = "http://xmlns.com/foaf/0.1/"
+
+
+def test_vocab_expansion_in_parser():
+    # reference reader option vocab_expansion: true (reader.rb:451)
+    html = ('<html><body><div about="http://example/#me" '
+            'vocab="http://example.org/vocab#" typeof="Person">'
+            '<span property="name">Gregg</span></div></body></html>')
+    out, _, _ = parse_rdfa(html, url=BASE, vocab_expansion=True)
+    got = set(out)
+    assert (I("http://example/#me"), I(RDF + "type"), I(FOAF + "Person")) in got
+    assert (I("http://example/#me"), I(FOAF + "name"), L("Gregg")) in got
+
+
+def test_vocab_expansion_unresolved_warns():
+    html = ('<html><body><div vocab="http://unknown.example/ns#" '
+            'typeof="Thing"></div></body></html>')
+    out, proc, _ = parse_rdfa(html, url=BASE, vocab_expansion=True,
+                              rdfagraph=("output", "processor"))
+    assert any("Unresolved vocabulary" in o[1]
+               for (_, p, o) in proc if o[0] == "literal")
