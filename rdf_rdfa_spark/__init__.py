@@ -12,3 +12,14 @@ Reference parity is cited per-module as /root/reference/<file>:<line>.
 """
 
 __version__ = "0.1.0"
+
+# convenience top-level API
+from .rdfa.walk import parse_rdfa  # noqa: E402,F401
+
+
+def extract_triples(pages_df, **kw):
+    """Lazy import wrapper (keeps `import rdf_rdfa_spark` Spark-free
+    for pure-parser users)."""
+    from .pipeline.extract import extract_triples as _et
+
+    return _et(pages_df, **kw)

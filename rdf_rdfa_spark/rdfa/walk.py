@@ -274,11 +274,14 @@ class RdfaWalker:
 
         # embedded RDF/XML and microdata handoffs (SURVEY S8/S9,
         # reader.rb:430-445): out of scope v1 — emit a warning row so
-        # the drop is visible in the processor graph, never silent
-        if self._subtree_has(root, lambda el: el.name in ("rdf:rdf", "rdf")):
-            self.add_warning(root, "embedded RDF/XML skipped (no reader)")
-        if self._subtree_has(root, lambda el: "itemscope" in el.attrs):
-            self.add_warning(root, "microdata (itemscope) skipped (no reader)")
+        # the drop is visible in the processor graph, never silent.
+        # The scan only runs when the processor graph is requested
+        # (the warnings are invisible otherwise).
+        if "processor" in self.rdfagraph:
+            if self._subtree_has(root, lambda el: el.name in ("rdf:rdf", "rdf")):
+                self.add_warning(root, "embedded RDF/XML skipped (no reader)")
+            if self._subtree_has(root, lambda el: "itemscope" in el.attrs):
+                self.add_warning(root, "microdata (itemscope) skipped (no reader)")
 
         if self.reference_folding:
             self.fold()
