@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .link import connected_components
+from .session import fan_out
 
 # Mersenne prime 2^31-1: params and residues stay below 2^31, so the
 # a*h+b permutation never exceeds 2^62 — safe under ANSI long
@@ -53,35 +54,47 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     params = permutation_params(num_hashes)
     tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
 
-    def perm(a, b):
-        return lambda h: F.pmod(
-            F.lit(a) * F.pmod(h, F.lit(_PRIME)) + F.lit(b), F.lit(_PRIME)
-        )
-
-    # materialize the token-hash array in its OWN projection: inlining
-    # it into each of the num_hashes array_min expressions makes codegen
-    # re-tokenize and re-hash the text per permutation (measured 10x
-    # slower at 64 hashes — lambda-bound subexpressions are not CSE'd
-    # across expressions)
-    hashed = df.select(
+    # materialize the token-hash array in its OWN projection so the
+    # sig expression never re-tokenizes/re-hashes the text per
+    # permutation (lambda-bound subexpressions are not CSE'd)
+    hashed = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.transform(tokens, lambda t: F.xxhash64(t)).alias("_h"),
     )
-    sig_exprs = [
-        F.array_min(F.transform("_h", perm(a, b))).alias("mh%d" % i)
-        for i, (a, b) in enumerate(params)
-    ]
-    return hashed.select("id", F.array(*sig_exprs).alias("sig"))
+    # the 64 permutations live in a LITERAL params array and are
+    # evaluated by one nested-lambda expression (runtime loop), not 64
+    # unrolled array_min(transform(...)) expressions: Janino compiles
+    # one small method instead of 64 lambda classes (4x faster first
+    # run) and the inner loop has better locality (~2x warm)
+    pa = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                   for a, b in params])
+    sig = F.transform(pa, lambda p: F.array_min(
+        F.transform(F.col("_h"), lambda h: F.pmod(
+            p["a"] * F.pmod(h, F.lit(_PRIME)) + p["b"], F.lit(_PRIME)))))
+    return hashed.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
-                        max_bucket: int = 64) -> DataFrame:
+                        max_bucket: int = 64,
+                        num_hashes: int | None = None) -> DataFrame:
     """(id, sig) → candidate pairs (a, b), a < b. One shuffle per
-    plan (explode → groupBy band key)."""
-    num_hashes = bands  # rows per band derived below
-    # rows per band = len(sig)/bands; build band keys via slice+hash
-    first = sigs.select(F.size("sig").alias("n")).limit(1).collect()
-    n = first[0]["n"] if first else 0
+    plan (explode → groupBy band key).
+
+    Pass ``num_hashes`` when known (the normal path) — probing it from
+    the data costs an extra Spark job per call."""
+    # LAZY plan barrier: the band keys below reference `sig` many
+    # times; without a barrier Catalyst's CollapseProject inlines the
+    # signature expression into every reference and recomputes the
+    # whole 64-permutation transform per band key (measured 8x blowup).
+    # eager=False materializes sigs exactly once inside the SAME
+    # action — no extra job, lineage truncated (MEMORY_AND_DISK, so at
+    # cluster scale oversized sig tables spill rather than OOM).
+    sigs = sigs.localCheckpoint(eager=False)
+    if num_hashes is not None:
+        n = num_hashes
+    else:
+        first = sigs.select(F.size("sig").alias("n")).limit(1).collect()
+        n = first[0]["n"] if first else 0
     if n == 0:
         return sigs.sparkSession.createDataFrame([], "a long, b long")
     r = max(n // bands, 1)
@@ -114,7 +127,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
 def jaccard_verify(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
     """Exact token-set Jaccard on candidate pairs (JVM array ops)."""
-    toks = docs.select(
+    toks = fan_out(docs).select(
         F.col(id_col).alias("jid"),
         F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("toks"),
     )

@@ -50,9 +50,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # round — iterative joins otherwise grow the lineage exponentially
     # and analysis time dominates. On a cluster with a checkpoint dir,
     # swap for df.checkpoint() to also survive executor loss.
+    # symmetrize in ONE pass over the input (explode, not
+    # union-with-swap: a union references `edges` twice and recomputes
+    # the entire upstream plan — e.g. a fused minhash+LSH+verify
+    # pipeline — twice before the checkpoint)
     e = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(F.explode(F.array(
+            F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+            F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        )).alias("p"))
+        .select("p.src", "p.dst")
         .distinct()
         .localCheckpoint()
     )
@@ -64,26 +71,28 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        # propagate: node adopts min(component of neighbors ∪ self)
+        # propagate: node adopts min(component of neighbors ∪ self).
+        # The node's own previous label rides along in the same
+        # aggregation (min over own-flagged rows), so convergence is a
+        # cheap filter on the checkpointed result — no per-round
+        # labels⋈labels shuffle join just to detect change.
         nbr = (
             e.join(labels, e["dst"] == labels["node"])
-            .select(e["src"].alias("node"), "component")
+            .select(e["src"].alias("node"), "component",
+                    F.lit(False).alias("own"))
         )
-        new_labels = (
-            labels.select("node", "component")
+        merged = (
+            labels.select("node", "component", F.lit(True).alias("own"))
             .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("own"), F.col("component"))).alias("old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("component") < F.col("old")).limit(1).count()
+        labels = merged.select("node", "component")
         if changed == 0:
             break
     return labels

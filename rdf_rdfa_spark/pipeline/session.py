@@ -43,3 +43,21 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()
+
+
+def fan_out(df, min_partitions: int | None = None):
+    """Repartition a narrow input up to the session's parallelism.
+
+    At 100 TB a parquet scan arrives in thousands of 128 MB splits and
+    this is a no-op. Locally the test tables are single-row-group
+    files that cannot split below 2 partitions, which starves
+    CPU-heavy downstream stages (minhash, simhash, n-gram shingling)
+    to 2 of 32 cores. The repartition only fires when the plan's scan
+    parallelism is below the target, so it never adds a shuffle on a
+    properly-split input.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from ..pipeline.session import fan_out
 from ..pipeline.canonicalize import (  # noqa: F401  (re-export)
     canonical_clusters,
     jaccard_verify,
@@ -68,8 +69,8 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return docs.select(F.col(id_col).alias("id"),
-                       _simhash64(toks).alias("simhash"))
+    return fan_out(docs).select(F.col(id_col).alias("id"),
+                                _simhash64(toks).alias("simhash"))
 
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
@@ -115,7 +116,7 @@ def ngram_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
             t="split(lower(trim(%s)), '\\\\s+')" % text_col, n=n
         )
     )
-    return docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    return fan_out(docs).select(F.col(id_col).alias("id"), grams.alias("grams"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
@@ -147,10 +148,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.9,
                            text_col: str = "text", id_col: str = "doc_id",
                            num_hashes: int = 64, bands: int = 16) -> DataFrame:
-    """Convenience: signatures → LSH candidates → exact verify, with
-    the signature/candidate intermediates localCheckpointed so the
-    chained plan doesn't recompute the signature stage per consumer
-    (lsh_candidate_pairs reads sigs twice; verify reads pairs once)."""
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes).localCheckpoint()
-    pairs = lsh_candidate_pairs(sigs, bands=bands).localCheckpoint()
+    """Convenience: signatures → LSH candidates → exact verify as ONE
+    lazy plan. Each intermediate (sigs, pairs) is consumed exactly
+    once downstream, so no checkpoint/persist is needed — Catalyst
+    pipelines the whole thing into a single job (3 shuffles: band
+    groupBy, pair distinct, verify join). On a long-lived cluster run
+    where sigs are also reused for clustering, persist them there."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, num_hashes=num_hashes)
     return jaccard_verify(pairs, docs, text_col, id_col, threshold)
