@@ -378,3 +378,47 @@ def test_subject_lookup_prunes(spark, sf_dir, tmp_path):
         got._jdf.queryExecution(), "formatted") if False else \
         got._jdf.queryExecution().executedPlan().toString()
     assert "bucket" in plan
+
+
+def test_writer_curie_compression():
+    """Writer mints CURIEs from the initial-context prefixes, declares
+    only used prefixes in @prefix, folds rdf:type into @typeof, and
+    emits bnodes as SafeCURIEs — all round-trip through our reader
+    (writer.rb:366-390 preprocess, :273-283 typeof, writer_spec.rb:546)."""
+    from rdf_rdfa_spark.rdfa.walk import parse_rdfa
+    from rdf_rdfa_spark.writer import to_rdfa_html
+
+    FOAF = "http://xmlns.com/foaf/0.1/"
+    rows = [
+        ("http://example.org/a",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         FOAF + "Person", "iri", None, None),
+        ("http://example.org/a", FOAF + "name", "Alice", "literal", None, None),
+        ("http://example.org/a", "http://purl.org/dc/terms/created",
+         "2020-01-01", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#date"),
+        ("http://example.org/a", FOAF + "knows", "_:b0", "bnode", None, None),
+        ("_:b0", FOAF + "name", "Bob", "literal", "en", None),
+    ]
+    html = to_rdfa_html(rows)
+    assert 'typeof="foaf:Person"' in html
+    assert 'property="foaf:name"' in html
+    assert 'datatype="xsd:date"' in html
+    assert 'resource="[_:b0]"' in html
+    # only used prefixes declared
+    assert "foaf: http://xmlns.com/foaf/0.1/" in html
+    assert "schema:" not in html
+
+    out, _, _ = parse_rdfa(html.encode(), url="http://example.org/doc")
+    got, want = set(), set()
+    for (sk, sv), (_pk, pv), o in out:
+        s = "BN" if sk == "bnode" else sv
+        if o[0] == "literal":
+            got.add((s, pv, o[1], "literal", o[2], o[3]))
+        else:
+            got.add((s, pv, "BN" if o[0] == "bnode" else o[1],
+                     o[0], None, None))
+    for s, p, o, k, lang, dt in rows:
+        want.add(("BN" if s.startswith("_:") else s, p,
+                  "BN" if k == "bnode" else o, k, lang, dt))
+    assert got == want, (sorted(want - got), sorted(got - want))

@@ -163,3 +163,34 @@ def test_role_multiple_values():
     for obj in ["http://example/roles/somerole", XHV + "someOtherRole",
                 "http://example/alternate/role", "noprefix:final"]:
         assert (s, I(XHV + "role"), I(obj)) in got, obj
+
+
+# --- HTML / XML literals (reader_spec.rb:189-237) ------------------------
+def test_rdf_html_literal():
+    # reader_spec "HTML Literal > rdf:HTML": inner markup serialized
+    # verbatim into the literal, datatype rdf:HTML
+    html = ('<!DOCTYPE html><html><head><base href=""/></head><body>'
+            '<div about="http://example/">'
+            '<h2 property="dc:title" datatype="rdf:HTML">E = mc<sup>2</sup>'
+            ': The Most Urgent Problem of Our Time</h2></div></body></html>')
+    got = parse(html, url="http://example/")
+    assert (I("http://example/"), I("http://purl.org/dc/terms/title"),
+            L("E = mc<sup>2</sup>: The Most Urgent Problem of Our Time",
+              dt=RDF + "HTML")) in got, sorted(got)
+
+
+def test_rdf_xmlliteral_namespace_injection():
+    # reader_spec "XML Literal > rdf:XMLLiteral" (the spec skips the
+    # assertion for matcher reasons but documents the expected form):
+    # in-scope xhtml namespace is declared on the serialized element
+    html = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<html xmlns="http://www.w3.org/1999/xhtml">'
+            '<head><base href=""/></head><body>'
+            '<div about="http://example/">'
+            '<h2 property="dc:title" datatype="rdf:XMLLiteral">E = mc<sup>2</sup>'
+            ': The Most Urgent Problem of Our Time</h2></div></body></html>')
+    got = parse(html, url="http://example/", host_language="xhtml1")
+    assert (I("http://example/"), I("http://purl.org/dc/terms/title"),
+            L('E = mc<sup xmlns="http://www.w3.org/1999/xhtml">2</sup>'
+              ': The Most Urgent Problem of Our Time',
+              dt=RDF + "XMLLiteral")) in got, sorted(got)
