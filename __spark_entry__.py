@@ -158,8 +158,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # uncapped buckets → exhaustive recall (P(miss) ~ 4e-8 per pair at
+    # b=16/r=4, threshold 0.9), so the output equals the exact-Jaccard
+    # pair set and is value-oracled against DuckDB. The production
+    # skew-guarded configuration (max_bucket=64) is what bench.py
+    # measures at sf0.1.
     corpus_df = _dup_corpus(spark, sf_dir)
-    return dedup.minhash_near_dup_pairs(corpus_df, threshold=0.9).select(
+    return dedup.minhash_near_dup_pairs(
+        corpus_df, threshold=0.9, max_bucket=1 << 40).select(
         "a", "b", F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_bp")
     )
 
@@ -334,6 +340,27 @@ SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
 FROM documents WHERE doc_id % 10 = 0
 """
 
+# exact token-set Jaccard over all pairs (DuckDB list ops). Matches
+# the Spark LSH path exactly because uncapped b=16/r=4 banding at
+# threshold 0.9 has ~zero false-negative probability and the verify
+# step recomputes exact Jaccard with the same tokenization.
+_DEDUP_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM ({dup})
+)
+SELECT a.id AS a, b.id AS b,
+       -- same float op order as the Spark side ((inter/union)*10000)
+       -- so FLOOR never disagrees by one ulp
+       CAST(FLOOR((len(list_intersect(a.t, b.t)) * 1.0
+            / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))))
+            * 10000) AS BIGINT) AS jaccard_bp
+FROM toks a JOIN toks b ON a.id < b.id
+WHERE len(list_intersect(a.t, b.t)) * 1.0
+      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.9
+""".format(dup=_DUP_CORPUS_SQL)
+
 _DEDUP_EXACT_SQL = """
 SELECT md5(text) AS fingerprint, COUNT(*) AS n_dups,
        MIN(doc_id) AS canonical_id,
@@ -434,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_triples FROM (%s) GROUP BY 1" % triples
         ),
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_minhash": _DEDUP_MINHASH_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "quality_scores": _QUALITY_SQL,
         "lang_id": _LANG_ID_SQL,

@@ -489,23 +489,22 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
             pos = lt + 1
             continue
         pos = m.end()
-        if m.group("start") is not None:
-            tag = m.group("start").lower()
-            raw_attrs = m.group("attrs") or ""
+        # one C-level groups() call per token instead of repeated
+        # named-group lookups (group order mirrors _FAST_TOKEN)
+        (comment, cdata, decl, pi, end_tag, start_tag, raw_attrs,
+         selfclose) = m.groups()
+        if start_tag is not None:
+            tag = start_tag.lower()
             attrs = []
-            for am in _FAST_ATTR.finditer(raw_attrs):
-                name = am.group(1).lower()
-                val = am.group(3)
-                if val is None:
-                    val = am.group(4)
-                if val is None:
-                    val = am.group(5)
+            for am in _FAST_ATTR.finditer(raw_attrs or ""):
+                name, _q, v1, v2, v3 = am.groups()
+                val = v1 if v1 is not None else (v2 if v2 is not None else v3)
                 if val is None:
                     val = ""
                 elif "&" in val:
                     val = _unescape(val)
-                attrs.append((name, val))
-            if m.group("selfclose"):
+                attrs.append((name.lower(), val))
+            if selfclose:
                 tb.handle_startendtag(tag, attrs)
             else:
                 tb.handle_starttag(tag, attrs)
@@ -516,12 +515,12 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
                     if end > pos:
                         tb.handle_data(text[pos:end])  # raw, no unescape
                     pos = end
-        elif m.group("end") is not None:
-            tb.handle_endtag(m.group("end").lower())
-        elif m.group("comment") is not None:
-            tb.handle_comment(m.group("comment"))
-        elif m.group("cdata") is not None:
-            tb.unknown_decl("CDATA[" + m.group("cdata"))
-        elif m.group("decl") is not None:
-            tb.handle_decl(m.group("decl"))
+        elif end_tag is not None:
+            tb.handle_endtag(end_tag.lower())
+        elif comment is not None:
+            tb.handle_comment(comment)
+        elif cdata is not None:
+            tb.unknown_decl("CDATA[" + cdata)
+        elif decl is not None:
+            tb.handle_decl(decl)
         # pi: dropped (html.parser does the same for our purposes)

@@ -77,6 +77,10 @@ _HEAD_BODY_RE = re.compile(r"^(head|body)$")
 _CDATA_OPEN_RE = re.compile(r"\A\s*<!\[CDATA\[", re.S)
 _CDATA_CLOSE_RE = re.compile(r"\]\]>\s*\Z", re.S)
 _XMLNS_ATTR_RE = re.compile(r"^xmlns(?::(.+))?$")
+_RDFA_ATTRS = frozenset((
+    "about", "content", "datatype", "datetime", "href", "id", "inlist",
+    "property", "rel", "resource", "rev", "role", "src", "type", "typeof",
+    "value", "vocab"))
 
 SCRIPT_TYPES = {"text/turtle", "text/ntriples", "application/n-triples", "text/n3"}
 
@@ -480,16 +484,17 @@ class RdfaWalker:
         if not base:
             base = ec.base
 
+        # single pass over the element's (few) attributes instead of
+        # 17 dict lookups + a separate xmlns scan
         attrs = {}
-        for a in ("about", "content", "datatype", "datetime", "href", "id",
-                  "inlist", "property", "rel", "resource", "rev", "role",
-                  "src", "type", "typeof", "value", "vocab"):
-            v = element.attrs.get(a)
-            if v is not None:
-                attrs[a] = v.strip()
+        declares_mappings = False
+        for k, v in element.attrs.items():
+            if k in _RDFA_ATTRS:
+                attrs[k] = v.strip()
+            elif k == "prefix" or k == "xmlns" or k.startswith("xmlns:"):
+                declares_mappings = True
 
-        if "prefix" in element.attrs or any(
-                k == "xmlns" or k.startswith("xmlns:") for k in element.attrs):
+        if declares_mappings:
             uri_mappings = dict(uri_mappings)
             namespaces = dict(namespaces)
             self._extract_mappings(element, uri_mappings, namespaces)
