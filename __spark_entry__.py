@@ -175,8 +175,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # uncapped pairs (see q_dedup_minhash) so the cluster set equals
+    # connected components over the exact-Jaccard graph — value-oracled
+    # against a DuckDB recursive CTE
     corpus_df = _dup_corpus(spark, sf_dir)
-    verified = dedup.minhash_near_dup_pairs(corpus_df, threshold=0.9)
+    verified = dedup.minhash_near_dup_pairs(corpus_df, threshold=0.9,
+                                            max_bucket=1 << 40)
     return dedup.canonical_clusters(verified).select(
         F.col("id").cast("long").alias("id"),
         F.col("canonical").cast("long").alias("canonical"),
@@ -361,6 +365,53 @@ WHERE len(list_intersect(a.t, b.t)) * 1.0
       / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.9
 """.format(dup=_DUP_CORPUS_SQL)
 
+# connected components over the exact near-dup graph as a recursive
+# CTE: labels propagate along edges; the `comp < d` prune is safe
+# because the component minimum is smaller than every intermediate
+# node, so it always survives to reach the whole component. canonical
+# matches Spark's connected_components (LEXICOGRAPHIC min over the
+# stringified ids — both sides compare as VARCHAR).
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({mh})),
+e AS (SELECT CAST(a AS VARCHAR) AS s, CAST(b AS VARCHAR) AS d FROM pairs
+      UNION SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM e),
+cc AS (
+  SELECT node, node AS comp FROM n
+  UNION
+  SELECT e.d AS node, cc.comp FROM cc JOIN e ON cc.node = e.s
+  WHERE cc.comp < e.d
+)
+SELECT CAST(node AS BIGINT) AS id, CAST(MIN(comp) AS BIGINT) AS canonical
+FROM cc GROUP BY node
+""".format(mh=_DEDUP_MINHASH_SQL)
+
+# brute-force cosine top-k with Spark-identical scoring: sequential
+# left-to-right double accumulation and (desc cosine, asc vec_id)
+# tie-break, so ranks agree bit-for-bit.
+_ANN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding AS v FROM embeddings),
+scored AS (
+  SELECT q.qid, v.vec_id,
+    list_sum(list_transform(range(1, len(v.v) + 1),
+             i -> CAST(v.v[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(v.v,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM v, q
+)
+SELECT qid, vec_id, rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
 _DEDUP_EXACT_SQL = """
 SELECT md5(text) AS fingerprint, COUNT(*) AS n_dups,
        MIN(doc_id) AS canonical_id,
@@ -462,6 +513,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash": _DEDUP_MINHASH_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "ann_cosine_topk": _ANN_COSINE_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "quality_scores": _QUALITY_SQL,
         "lang_id": _LANG_ID_SQL,
