@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import re
 
+from . import rdfxml
 from . import resolve as R
 from .contexts import initial_context
 from .dom import Element, c14n_children, parse_html, detect_host_language_version, decode_html
@@ -259,8 +260,13 @@ class RdfaWalker:
         return out
 
     # --- document entry ----------------------------------------------
-    def parse(self, root: Element):
-        """parse_whole_document (reader.rb:578-604)."""
+    def parse(self, root: Element, source_text: str | None = None):
+        """parse_whole_document (reader.rb:578-604).
+
+        ``source_text`` (the original, case-intact document) enables
+        the embedded RDF/XML pass — RDF/XML is case-sensitive, so
+        islands are re-scanned from source rather than from the
+        HTML-lowercased DOM."""
         self.root = root
         base = self._doc_base(root)
         if base:
@@ -276,14 +282,24 @@ class RdfaWalker:
                 ec.default_vocabulary = self._initial_vocab
         self._traverse(root, ec)
 
-        # embedded RDF/XML and microdata handoffs (SURVEY S8/S9,
-        # reader.rb:430-445): out of scope v1 — emit a warning row so
-        # the drop is visible in the processor graph, never silent.
-        # The scan only runs when the processor graph is requested
-        # (the warnings are invisible otherwise).
-        if "processor" in self.rdfagraph:
+        # embedded RDF/XML (SURVEY S8, reader.rb:429-434): islands are
+        # read with the subset grammar in rdfa/rdfxml.py, merged into
+        # the output graph BEFORE property copying / vocab expansion
+        # (same ordering as the reference, reader.rb:434-451)
+        if source_text is not None and rdfxml.likely_has_rdfxml(source_text):
+            try:
+                for s, p, o in rdfxml.extract_embedded_rdfxml(
+                        source_text, self.doc_base, self.bnode):
+                    self.add_triple(s, p, o)
+            except Exception as e:  # never fail the document
+                self.add_warning(root, "embedded RDF/XML error: %s" % e)
+        elif source_text is None and "processor" in self.rdfagraph:
             if self._subtree_has(root, lambda el: el.name in ("rdf:rdf", "rdf")):
-                self.add_warning(root, "embedded RDF/XML skipped (no reader)")
+                self.add_warning(root, "embedded RDF/XML skipped (no source)")
+
+        # microdata handoff (SURVEY S9, reader.rb:437-445): explicit
+        # non-goal — warning row when the processor graph is requested
+        if "processor" in self.rdfagraph:
             if self._subtree_has(root, lambda el: "itemscope" in el.attrs):
                 self.add_warning(root, "microdata (itemscope) skipped (no reader)")
 
@@ -944,8 +960,15 @@ class RdfaWalker:
                     self.add_triple(s, p, o)
             except TurtleParseError as e:
                 self.add_error(element, "embedded %s parse error: %s" % (stype, e))
-        elif stype in ("application/ld+json", "application/rdf+xml",
-                       "application/csvm+json"):
+        elif stype == "application/rdf+xml":
+            # script payloads keep their original case (text nodes are
+            # never lowercased), so the subset reader applies directly
+            try:
+                for (s, p, o) in rdfxml.parse_rdfxml(text, base, self.bnode):
+                    self.add_triple(s, p, o)
+            except Exception as e:
+                self.add_error(element, "embedded %s parse error: %s" % (stype, e))
+        elif stype in ("application/ld+json", "application/csvm+json"):
             self.add_warning(element,
                              "embedded %s script skipped (no reader)" % stype)
 
@@ -972,5 +995,5 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
                    reference_folding=reference_folding,
                    processor_info=processor_info, processor_ptr=processor_ptr,
                    vocab_expansion=vocab_expansion)
-    w.parse(root)
+    w.parse(root, source_text=text)
     return list(w.triples), list(w.processor), root
