@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import re
 
-from . import rdfxml
+from . import microdata, rdfxml
 from . import resolve as R
 from .contexts import initial_context
 from .dom import Element, c14n_children, parse_html, detect_host_language_version, decode_html
@@ -147,6 +147,7 @@ class RdfaWalker:
         processor_info: bool = False,
         processor_ptr: bool = False,
         vocab_expansion: bool = False,
+        microdata: bool = True,
     ):
         self.base_uri = base_uri
         self.host_language = host_language
@@ -156,6 +157,7 @@ class RdfaWalker:
         self.processor_info = processor_info
         self.processor_ptr = processor_ptr
         self.vocab_expansion = vocab_expansion
+        self.microdata = microdata
 
         self.triples: dict = {}  # ordered set of (subj, pred, obj) term tuples
         self.processor: list = []  # (subj, pred, obj) rows for the processor graph
@@ -297,11 +299,22 @@ class RdfaWalker:
             if self._subtree_has(root, lambda el: el.name in ("rdf:rdf", "rdf")):
                 self.add_warning(root, "embedded RDF/XML skipped (no source)")
 
-        # microdata handoff (SURVEY S9, reader.rb:437-445): explicit
-        # non-goal — warning row when the processor graph is requested
-        if "processor" in self.rdfagraph:
-            if self._subtree_has(root, lambda el: "itemscope" in el.attrs):
-                self.add_warning(root, "microdata (itemscope) skipped (no reader)")
+        # embedded microdata (SURVEY S9, reader.rb:437-445): the
+        # reference reads it when the rdf-microdata gem is installed
+        # (it IS in the reference's own Gemfile/spec env — default ON);
+        # microdata=False mirrors a stock install's LoadError path,
+        # which only logs the drop
+        if self._subtree_has(root, lambda el: "itemscope" in el.attrs):
+            if self.microdata:
+                try:
+                    for s, p, o in microdata.extract_microdata(
+                            root, self.doc_base, self.bnode):
+                        self.add_triple(s, p, o)
+                except Exception as e:  # never fail the document
+                    self.add_warning(root, "microdata error: %s" % e)
+            elif "processor" in self.rdfagraph:
+                self.add_warning(root,
+                                 "microdata (itemscope) skipped (disabled)")
 
         if self.reference_folding:
             self.fold()
@@ -976,7 +989,7 @@ class RdfaWalker:
 def parse_rdfa(html, url=None, host_language=None, version=None,
                rdfagraph=("output",), reference_folding=True,
                processor_info=False, processor_ptr=False,
-               vocab_expansion=False):
+               vocab_expansion=False, microdata=True):
     """Parse one document → (output_triples, processor_triples, root).
 
     ``html`` may be bytes (charset-sniffed; nokogiri.rb:161-188) or str.
@@ -994,6 +1007,6 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
     w = RdfaWalker(url, host_language=hl, version=ver, rdfagraph=rdfagraph,
                    reference_folding=reference_folding,
                    processor_info=processor_info, processor_ptr=processor_ptr,
-                   vocab_expansion=vocab_expansion)
+                   vocab_expansion=vocab_expansion, microdata=microdata)
     w.parse(root, source_text=text)
     return list(w.triples), list(w.processor), root
