@@ -59,6 +59,18 @@ HTML_EXPR = (
     " ELSE '' END"
     " || CASE WHEN doc_id % 11 = 0 THEN '<script type=\"text/turtle\">' || {ttl} || '</script>' ELSE '' END"
     " || CASE WHEN doc_id % 13 = 0 THEN '<span about=\"\" property=\"unknownterm\">term</span>' ELSE '' END"
+    # microdata item (S9 reader; itemid keeps it bnode-free so the
+    # inlist/copy skolem labels stay stable)
+    " || CASE WHEN doc_id % 17 = 0 THEN"
+    " '<div itemscope itemtype=\"http://schema.org/Thing\" itemid=\"' || {d} || '/md\">'"
+    " || '<span itemprop=\"name\">md' || doc_id || '</span></div>' ELSE '' END"
+    # embedded RDF/XML island (S8 reader; rdf:about keeps it bnode-free)
+    " || CASE WHEN doc_id % 19 = 0 THEN"
+    " '<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\""
+    " xmlns:dcx=\"http://purl.org/dc/terms/\">'"
+    " || '<rdf:Description rdf:about=\"' || {d} || '\">'"
+    " || '<dcx:source>src' || doc_id || '</dcx:source>'"
+    " || '</rdf:Description></rdf:RDF>' ELSE '' END"
     " || '</article></body></html>'"
 ).format(d=DOC_IRI_EXPR, esc=ESC_TEXT_EXPR, ttl=SCRIPT_TTL_EXPR)
 
@@ -69,6 +81,8 @@ TEXT_EXPR = (
     " || CASE WHEN doc_id % 7 = 0 THEN 'Publisher ' || (doc_id % 3) ELSE '' END"
     " || CASE WHEN doc_id % 11 = 0 THEN {ttl} ELSE '' END"
     " || CASE WHEN doc_id % 13 = 0 THEN 'term' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN 'md' || doc_id ELSE '' END"
+    " || CASE WHEN doc_id % 19 = 0 THEN 'src' || doc_id ELSE '' END"
 ).format(ttl=SCRIPT_TTL_EXPR)
 
 SCHEMA = "http://schema.org/"
@@ -119,6 +133,15 @@ def triples_oracle_sql() -> str:
         # embedded turtle
         _select(d, SCHEMA + "sameAs", MIRROR_IRI_EXPR,
                 where="doc_id % 11 = 0"),
+        # microdata item (schema.org vocab derivation; value language
+        # DOM-inherited from <html lang>)
+        _select("%s || '/md'" % d, RDF_NS + "type", "'%sThing'" % SCHEMA,
+                where="doc_id % 17 = 0"),
+        _select("%s || '/md'" % d, SCHEMA + "name", "'md' || doc_id",
+                "'literal'", lang="lang", where="doc_id % 17 = 0"),
+        # embedded RDF/XML island (no xml:lang in scope → NULL lang)
+        _select(d, "http://purl.org/dc/terms/source", "'src' || doc_id",
+                "'literal'", where="doc_id % 19 = 0"),
     ]
     return "\nUNION ALL\n".join(parts)
 

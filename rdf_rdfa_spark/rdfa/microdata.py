@@ -33,6 +33,20 @@ _SRC_ELEMENTS = ("audio", "embed", "iframe", "img", "source", "track", "video")
 _HREF_ELEMENTS = ("a", "area", "link")
 
 
+def _lang_of(el: Element):
+    """DOM-inherited language (the mapping uses the value element's
+    effective language, not just its own attribute)."""
+    cur = el
+    while cur is not None:
+        v = cur.attrs.get("xml:lang")
+        if v is None:
+            v = cur.attrs.get("lang")
+        if v is not None:
+            return v or None
+        cur = cur.parent
+    return None
+
+
 def _is_absolute(name: str) -> bool:
     return ":" in name and name.split(":", 1)[0].isalpha() and (
         "//" in name or name.startswith(("urn:", "mailto:", "tel:")))
@@ -142,7 +156,7 @@ class _MicrodataReader:
             return self.item(el)
         name = el.name
         if name == "meta":
-            return literal(a.get("content", ""), el.language)
+            return literal(a.get("content", ""), _lang_of(el))
         if name in _SRC_ELEMENTS:
             return iri(resolve(self.base, a.get("src", "")))
         if name in _HREF_ELEMENTS:
@@ -150,10 +164,10 @@ class _MicrodataReader:
         if name == "object":
             return iri(resolve(self.base, a.get("data", "")))
         if name in ("data", "meter"):
-            return literal(a.get("value", ""), el.language)
+            return literal(a.get("value", ""), _lang_of(el))
         if name == "time":
-            return literal(a.get("datetime") or el.inner_text, el.language)
-        return literal(el.inner_text, el.language)
+            return literal(a.get("datetime") or el.inner_text, _lang_of(el))
+        return literal(el.inner_text, _lang_of(el))
 
 
 def extract_microdata(root: Element, base: str | None, bnode_factory):
