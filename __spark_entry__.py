@@ -193,6 +193,10 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.token_counts(_docs(spark, sf_dir))
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.bpe_token_counts(_docs(spark, sf_dir))
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.quality_scores(_docs(spark, sf_dir))
 
@@ -284,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -426,6 +431,17 @@ SELECT doc_id AS id,
 FROM documents
 """
 
+# same lookahead-free pattern as quality.BPE_TOKEN_PATTERN (Java regex
+# and RE2 count identically on it)
+_BPE_TOKEN_COUNTS_SQL = """
+SELECT doc_id AS id,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+         AS BIGINT) AS n_bpe_tokens,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens
+FROM documents
+"""
+
 _QUALITY_SQL = """
 SELECT doc_id AS id,
   length(text) AS n_chars_actual,
@@ -516,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        "bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
         "quality_scores": _QUALITY_SQL,
         "lang_id": _LANG_ID_SQL,
         "fingerprint": _FINGERPRINT_SQL,

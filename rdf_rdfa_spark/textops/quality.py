@@ -32,6 +32,31 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer classes (contractions | space-prefixed
+# letter runs | digit runs | punctuation runs | whitespace runs).
+# Deliberately lookahead-free so Java regex (Spark) and RE2 (DuckDB)
+# count identically — the training-data proxy for "BPE tokens" before
+# merges.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pre-merge BPE token estimate per document (JVM regexp_count —
+    one scan, no Python)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_PATTERN))
+        .cast("long").alias("n_bpe_tokens"),
+        token_count_col().alias("n_ws_tokens"),
+    )
+
+
 def quality_scores(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Length/punctuation/uppercase/digit ratios in basis points +
     mean word length (×100, integer)."""

@@ -422,3 +422,18 @@ def test_writer_curie_compression():
         want.add(("BN" if s.startswith("_:") else s, p,
                   "BN" if k == "bnode" else o, k, lang, dt))
     assert got == want, (sorted(want - got), sorted(got - want))
+
+
+def test_bpe_token_counts(spark):
+    """GPT-2-style pre-tokenizer classes: contractions split, digits
+    and letters separate, punctuation runs, space-prefixed words."""
+    from rdf_rdfa_spark.textops.quality import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "It's 42 degrees, isn't it?"), (2, "")],
+        "doc_id long, text string")
+    got = {r["id"]: (r["n_bpe_tokens"], r["n_ws_tokens"])
+           for r in bpe_token_counts(df).collect()}
+    # It |'s | 42 | degrees |, | isn |'t | it |?  -> 9
+    assert got[1] == (9, 5)
+    assert got[2] == (0, 1)
