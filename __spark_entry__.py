@@ -225,6 +225,32 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "rank")
 
 
+def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ exact copies of every 10th vector under shifted
+    ids — near-dup detection has deterministic work to do (the random
+    synthetic vectors are mutually near-orthogonal)."""
+    emb = _embeddings(spark, sf_dir)
+    copies = emb.filter("vec_id % 10 = 0").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding", "label")
+    return emb.unionByName(copies)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup_pairs(
+        _emb_dup_corpus(spark, sf_dir), threshold=0.99).select(
+        "a", "b", F.floor(F.col("cosine") * 10000).cast("long").alias("cos_bp"))
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact duplicates collide in every sign-bit table, so on this
+    # corpus the LSH path returns the same pair set as the exact one
+    # (value-oracled against the same SQL); on general data recall is
+    # ~0.97 at t=0.99 — documented in the op
+    return similarity.cosine_near_dup_pairs_lsh(
+        _emb_dup_corpus(spark, sf_dir), threshold=0.99).select(
+        "a", "b", F.floor(F.col("cosine") * 10000).cast("long").alias("cos_bp"))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(
         _embeddings(spark, sf_dir), _queries_df(spark, sf_dir), k=10
@@ -293,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -417,6 +445,29 @@ SELECT qid, vec_id, rank FROM (
 ) WHERE rank <= 10
 """
 
+# exact cosine pairs over the duplicated embedding corpus, same float
+# accumulation order as the Spark side
+_EMB_NEAR_DUP_SQL = """
+WITH emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+v AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM emb2),
+s AS (
+  SELECT a.id AS a, b.id AS b,
+    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+  FROM v a JOIN v b ON a.id < b.id
+)
+SELECT a, b, CAST(FLOOR(cosine * 10000) AS BIGINT) AS cos_bp
+FROM s WHERE cosine >= 0.99
+"""
+
 _DEDUP_EXACT_SQL = """
 SELECT md5(text) AS fingerprint, COUNT(*) AS n_dups,
        MIN(doc_id) AS canonical_id,
@@ -531,6 +582,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _DEDUP_MINHASH_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
+        "emb_near_dup": _EMB_NEAR_DUP_SQL,
+        "emb_near_dup_lsh": _EMB_NEAR_DUP_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
         "quality_scores": _QUALITY_SQL,

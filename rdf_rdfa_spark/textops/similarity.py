@@ -196,3 +196,64 @@ def ivf_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "rank", "cosine")
     )
+
+
+def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.99,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (a < b, cosine ≥ t).
+
+    Brute O(n²) self-join — the ORACLE / bounded-corpus path. The
+    production path at crawl scale is :func:`cosine_near_dup_pairs_lsh`
+    (hyperplane blocking turns the cross join into per-bucket joins)."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def cosine_near_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.99,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding", dim: int = 64,
+                              n_tables: int = 4, bits: int = 8) -> DataFrame:
+    """Multi-table hyperplane-LSH near-dup pairs: candidates must share
+    a full bucket in at least one of ``n_tables`` sign-bit tables, then
+    exact cosine verification. At threshold t the per-pair recall is
+    1-(1-(1-acos(t)/pi)^bits)^n_tables (≈0.97 at t=0.99 with 4x8;
+    exact duplicates always collide — identical sign patterns).
+    One shuffle per plan: explode table ids → per-bucket self-join."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    tables = [
+        lsh_bucket_col(F.col("v"), hyperplanes(dim, bits, seed=7 + 13 * t))
+        for t in range(n_tables)
+    ]
+    banded = v.select("id", "v", F.posexplode(F.array(*tables))
+                      .alias("tbl", "bucket"))
+    a = banded.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                      "tbl", "bucket")
+    b = banded.select(F.col("id").alias("b"), F.col("v").alias("vb"),
+                      "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .dropDuplicates(["a", "b"])
+    )
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
