@@ -203,6 +203,35 @@ def c14n_children(element: Element, language, namespaces: dict) -> str:
     return "".join(out)
 
 
+_EOF_CONSTRUCTS = (
+    ("<!--", "-->", "-->"),
+    ("<![cdata[", "]]>", "]]>"),
+    ("<script", "</script", "</script>"),
+    ("<style", "</style", "</style>"),
+)
+
+
+def _eof_closer(text: str) -> str:
+    """The close marker for whichever comment/CDATA/rawtext construct
+    is still open at EOF ('' if none). Scans openers in document order
+    so an opener swallowed by an earlier construct is ignored."""
+    low = text.lower()
+    pos = 0
+    while True:
+        nxt = None
+        for opener, closer, suffix in _EOF_CONSTRUCTS:
+            i = low.find(opener, pos)
+            if i != -1 and (nxt is None or i < nxt[0]):
+                nxt = (i, opener, closer, suffix)
+        if nxt is None:
+            return ""
+        i, opener, closer, suffix = nxt
+        end = low.find(closer, i + len(opener))
+        if end == -1:
+            return suffix
+        pos = end + len(closer)
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -303,6 +332,14 @@ def parse_html(text: str, html_host: bool = True, fast: bool = True):
     if fast:
         _fast_feed(tb, text)
     else:
+        # HTML5 says an unterminated comment/CDATA/rawtext element runs
+        # to EOF (the fast path and Nokogiri do this); stdlib
+        # html.parser instead re-parses the tail as markup at close().
+        # Close the construct that is actually open at EOF — scanned in
+        # document order so constructs nested inside an earlier one
+        # (e.g. a CDATA opener inside an unterminated comment) don't
+        # get spurious closers.
+        text += _eof_closer(text)
         tb.feed(text)
         tb.close()
 

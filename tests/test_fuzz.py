@@ -1,0 +1,114 @@
+"""Property-based fuzzing (hypothesis) for the parser front door:
+never crash, be deterministic, and keep the fast single-regex
+tokenizer byte-equivalent to the stdlib html.parser path on
+adversarial tag soup (the corpus-wide equivalence test covers
+realistic pages; this explores the hostile corners)."""
+
+from hypothesis import given, settings, strategies as st
+
+from rdf_rdfa_spark.rdfa.dom import parse_html
+from rdf_rdfa_spark.rdfa.walk import RdfaWalker, parse_rdfa
+
+_TAGS = ["div", "span", "p", "a", "li", "svg", "rdf:RDF", "script", "b"]
+_ATTRS = ["about", "property", "rel", "resource", "typeof", "href",
+          "content", "datatype", "prefix", "vocab", "itemscope",
+          "itemprop", "itemtype", "xml:lang", "xmlns:ex", "id", "itemref"]
+_VALS = ["", "x", "schema:name", "[_:b0]", "http://ex.org/a b",
+         "ex: http://ex.org/", "&amp;", "<", '"', "rdf:XMLLiteral",
+         "http://schema.org/Thing", "é中", "a" * 300]
+
+
+@st.composite
+def tag_soup(draw, wellformed_attrs=False, hostile=True):
+    """``hostile=False`` limits to structurally complete (if deeply
+    weird) markup: the stdlib fallback tokenizer predates HTML5 and
+    recovers differently from pathological fragments (`<!-->`, lone
+    `<!--`, truncated tag openers), so tokenizer EQUIVALENCE is only
+    promised on the non-pathological space — the production fast path
+    follows HTML5-style recovery everywhere."""
+    n = draw(st.integers(1, 25))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 4 if hostile else 2))
+        if kind == 0:
+            tag = draw(st.sampled_from(_TAGS))
+            vals = _VALS
+            if wellformed_attrs:
+                # hostile CONTENT but valid quoting — recovery from
+                # malformed attr syntax (stray quotes) legitimately
+                # differs between tokenizers (and Nokogiri again)
+                vals = [v.replace('"', "&quot;") for v in _VALS]
+            attrs = " ".join(
+                '%s="%s"' % (draw(st.sampled_from(_ATTRS)),
+                             draw(st.sampled_from(vals)))
+                for _ in range(draw(st.integers(0, 3))))
+            parts.append("<%s %s>" % (tag, attrs))
+        elif kind == 1:
+            parts.append("</%s>" % draw(st.sampled_from(_TAGS)))
+        elif kind == 2:
+            t = draw(st.text(max_size=20))
+            if not hostile:
+                t = t.replace("&", "&amp;").replace("<", "&lt;")
+                parts.append(draw(st.sampled_from(
+                    [t, "<!--%s-->" % t.replace("-", ""), "<script></script>",
+                     "<script>var a = 1 < 2;</script>"])))
+                continue
+            parts.append(t)
+        elif kind == 3:
+            parts.append(draw(st.sampled_from(
+                ["<!--x-->", "<![CDATA[y]]>", "<!DOCTYPE html>", "<?pi?>",
+                 "<", ">", "&#60;", "&bogus;", "<!--", "<![CDATA["])))
+        else:
+            parts.append("<div about=")  # truncated opener
+    return "".join(parts)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=400))
+def test_parse_rdfa_never_crashes_on_bytes(raw):
+    out, proc, _ = parse_rdfa(raw, url="http://example.org/")
+    assert isinstance(out, list) and isinstance(proc, list)
+
+
+@settings(max_examples=80, deadline=None)
+@given(tag_soup())
+def test_parse_rdfa_deterministic(soup):
+    doc = "<html><body>%s</body></html>" % soup
+    a = parse_rdfa(doc, url="http://example.org/")[0]
+    b = parse_rdfa(doc, url="http://example.org/")[0]
+    assert a == b
+
+
+@settings(max_examples=80, deadline=None)
+@given(tag_soup(wellformed_attrs=True, hostile=False))
+def test_fast_tokenizer_equivalent_to_stdlib(soup):
+    doc = "<html><body>%s</body></html>" % soup
+
+    def run(fast):
+        root, _ = parse_html(doc, html_host=True, fast=fast)
+        w = RdfaWalker("http://example.org/", host_language="html5")
+        w.parse(root, source_text=doc)
+        return list(w.triples)
+
+    assert run(True) == run(False)
+
+
+def test_stdlib_path_unterminated_constructs_match_fast():
+    # the concrete classes the fuzzer surfaced: HTML5 runs these to
+    # EOF; the stdlib fallback is normalized via _eof_closer
+    cases = [
+        '<div property="schema:name">a<!--<div property="schema:desc">b',
+        '<div property="schema:name">a<script >rest',
+        '<div property="schema:name"><!--<![CDATA[',
+        '<div property="schema:name">x<style>p{}',
+    ]
+    for soup in cases:
+        doc = "<html><body>%s</body></html>" % soup
+
+        def run(fast):
+            root, _ = parse_html(doc, html_host=True, fast=fast)
+            w = RdfaWalker("http://example.org/", host_language="html5")
+            w.parse(root, source_text=doc)
+            return list(w.triples)
+
+        assert run(True) == run(False), soup
