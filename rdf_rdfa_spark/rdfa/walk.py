@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import re
 
-from . import microdata, rdfxml
+from . import jsonld, microdata, rdfxml
 from . import resolve as R
 from .contexts import initial_context
 from .dom import Element, c14n_children, parse_html, detect_host_language_version, decode_html
@@ -981,7 +981,13 @@ class RdfaWalker:
                     self.add_triple(s, p, o)
             except Exception as e:
                 self.add_error(element, "embedded %s parse error: %s" % (stype, e))
-        elif stype in ("application/ld+json", "application/csvm+json"):
+        elif stype == "application/ld+json":
+            try:
+                for (s, p, o) in jsonld.parse_jsonld(text, base, self.bnode):
+                    self.add_triple(s, p, o)
+            except Exception as e:
+                self.add_error(element, "embedded %s parse error: %s" % (stype, e))
+        elif stype == "application/csvm+json":
             self.add_warning(element,
                              "embedded %s script skipped (no reader)" % stype)
 

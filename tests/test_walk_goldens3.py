@@ -147,12 +147,20 @@ def test_script_turtle_relative_iris():
     assert (I(BASE + "relative"), I(BASE + "alsorelative"), L("v")) in got
 
 
-def test_script_jsonld_warns_not_crashes():
+def test_script_jsonld_now_processed():
+    # round 1 closed this gap: ld+json scripts are READ (rdfa/jsonld.py);
+    # a context-less relative @type is droppable, not a crash or warning
     html = ('<html><body><script type="application/ld+json">'
             '{"@id": "x", "@type": "t"}</script></body></html>')
     out, proc, _ = parse_rdfa(html, url=BASE, rdfagraph=("output", "processor"))
-    assert not out
-    assert any("ld+json" in o[1] for (_, p, o) in proc if o[0] == "literal")
+    assert not out  # no vocab to expand "t" against → nothing to emit
+    html2 = ('<html><body><script type="application/ld+json">'
+             '{"@context": "https://schema.org", "@id": "x", "@type": "Thing"}'
+             '</script></body></html>')
+    out2, _, _ = parse_rdfa(html2, url=BASE)
+    assert (I(BASE + "x"),
+            I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+            I("http://schema.org/Thing")) in out2
 
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
