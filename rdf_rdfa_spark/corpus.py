@@ -71,6 +71,10 @@ HTML_EXPR = (
     " || '<rdf:Description rdf:about=\"' || {d} || '\">'"
     " || '<dcx:source>src' || doc_id || '</dcx:source>'"
     " || '</rdf:Description></rdf:RDF>' ELSE '' END"
+    # JSON-LD script (S7 jsonld reader; absolute @id, native integer)
+    " || CASE WHEN doc_id % 23 = 0 THEN"
+    " '<script type=\"application/ld+json\">{{\"@context\":\"https://schema.org\",\"@id\":\"'"
+    " || {d} || '\",\"@type\":\"Dataset\",\"version\":' || doc_id || '}}</script>' ELSE '' END"
     " || '</article></body></html>'"
 ).format(d=DOC_IRI_EXPR, esc=ESC_TEXT_EXPR, ttl=SCRIPT_TTL_EXPR)
 
@@ -83,7 +87,10 @@ TEXT_EXPR = (
     " || CASE WHEN doc_id % 13 = 0 THEN 'term' ELSE '' END"
     " || CASE WHEN doc_id % 17 = 0 THEN 'md' || doc_id ELSE '' END"
     " || CASE WHEN doc_id % 19 = 0 THEN 'src' || doc_id ELSE '' END"
-).format(ttl=SCRIPT_TTL_EXPR)
+    " || CASE WHEN doc_id % 23 = 0 THEN"
+    " '{{\"@context\":\"https://schema.org\",\"@id\":\"' || {d}"
+    " || '\",\"@type\":\"Dataset\",\"version\":' || doc_id || '}}' ELSE '' END"
+).format(ttl=SCRIPT_TTL_EXPR, d=DOC_IRI_EXPR)
 
 SCHEMA = "http://schema.org/"
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -142,6 +149,11 @@ def triples_oracle_sql() -> str:
         # embedded RDF/XML island (no xml:lang in scope → NULL lang)
         _select(d, "http://purl.org/dc/terms/source", "'src' || doc_id",
                 "'literal'", where="doc_id % 19 = 0"),
+        # JSON-LD script (absolute @id, JSON-native integer datatype)
+        _select(d, RDF_NS + "type", "'%sDataset'" % SCHEMA,
+                where="doc_id % 23 = 0"),
+        _select(d, SCHEMA + "version", "'' || doc_id", "'literal'",
+                datatype="'%sinteger'" % XSD_NS, where="doc_id % 23 = 0"),
     ]
     return "\nUNION ALL\n".join(parts)
 
@@ -157,13 +169,15 @@ PAGES_SQL = (
 
 def pages_sql(dialect: str = "spark") -> str:
     """The pages-table query; `html` is BINARY on Spark, BLOB on DuckDB."""
+    # .replace, not .format: HTML_EXPR/TEXT_EXPR contain literal JSON
+    # braces (the JSON-LD snippet) that str.format would eat
     cast = "CAST(({h}) AS BINARY)" if dialect == "spark" else "encode({h})"
     return (
         "SELECT {u} AS url, "
         "CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS warc_ts, "
-        + cast.format(h=HTML_EXPR)
+        + cast.replace("{h}", HTML_EXPR)
         + " AS html, {t} AS text, lang FROM documents"
-    ).format(u=URL_EXPR, t=TEXT_EXPR)
+    ).replace("{u}", URL_EXPR).replace("{t}", TEXT_EXPR)
 
 
 def pages_df(spark, sf_dir: str, repeat: int = 1):
