@@ -152,8 +152,11 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dup_ids is array<long> in the operator; the driver's comparator
+    # needs scalar columns, so serialize it to a csv string here.
     return dedup.exact_duplicates(_dup_corpus(spark, sf_dir)).select(
-        "fingerprint", "n_dups", "canonical_id", "dup_ids"
+        "fingerprint", "n_dups", "canonical_id",
+        F.array_join("dup_ids", ",").alias("dup_ids"),
     )
 
 
@@ -471,7 +474,7 @@ FROM s WHERE cosine >= 0.99
 _DEDUP_EXACT_SQL = """
 SELECT md5(text) AS fingerprint, COUNT(*) AS n_dups,
        MIN(doc_id) AS canonical_id,
-       list_sort(list(doc_id)) AS dup_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
 FROM ({dup}) GROUP BY md5(text) HAVING COUNT(*) > 1
 """.format(dup=_DUP_CORPUS_SQL)
 
@@ -601,7 +604,8 @@ WITH g AS (
                    > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events)
-SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM g GROUP BY user_id""",
         "events_props": """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

@@ -31,11 +31,15 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     One shuffle on user_id; the running session counter is a window
     cumulative sum (no driver loop)."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
-    gap = epoch - F.lag(epoch).over(w)
+    # microsecond precision: unix_timestamp() truncates to seconds,
+    # which silently disagrees with fractional-seconds semantics
+    # (DuckDB epoch()) for gaps straddling the threshold boundary.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
     flagged = events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1)
+        .otherwise(0),
     )
     return (
         flagged.groupBy("user_id")
