@@ -421,6 +421,17 @@ def detect_host_language_version(
     vm = _VERSION_RE.search(root)
     version_attr = vm.group(1) if vm else ""
 
+    # <meta http-equiv="content-type" content="..."> in the head sets
+    # the effective content type (nokogiri.rb:225-237)
+    meta_ct = None
+    for mm in re.finditer(r"<meta\b[^>]*>", head, re.I):
+        tag = mm.group(0)
+        if re.search(r"""http-equiv\s*=\s*["']?content-type["']?""", tag, re.I):
+            cm = re.search(r"""content\s*=\s*["']([^"';]+)""", tag, re.I)
+            if cm:
+                meta_ct = cm.group(1).strip().lower()
+            break
+
     if version is None:
         if "RDFa 1.0" in doc_type_string or "RDFa 1.0" in version_attr:
             version = "rdfa1.0"
@@ -432,6 +443,18 @@ def detect_host_language_version(
     if host_language is None:
         if version == "rdfa1.0" and re.search(r"html", doc_type_string, re.I):
             host_language = "xhtml1"
+        elif meta_ct == "application/xhtml+xml":
+            # nokogiri.rb:260-266
+            if re.search(r"html 4", doc_type_string, re.I):
+                host_language = "html4"
+            elif re.search(r"xhtml", doc_type_string, re.I):
+                host_language = "xhtml1"
+            else:
+                host_language = "xhtml5"
+        elif meta_ct == "application/xml":
+            host_language = "xml"
+        elif meta_ct == "image/svg+xml":
+            host_language = "svg"
         elif re.search(r"html 4", doc_type_string, re.I):
             host_language = "html4"
         elif re.search(r"xhtml", doc_type_string, re.I):

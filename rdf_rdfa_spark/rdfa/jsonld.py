@@ -115,14 +115,15 @@ class _Reader:
         if isinstance(nid, str):
             if nid.startswith("_:"):
                 return self.bnode(nid)
+            # CURIE via a context prefix mapping takes precedence over
+            # scheme-lookalike absolute IRIs (compact IRI expansion);
+            # otherwise @id is base-relative (NEVER @vocab-expanded)
+            if ":" in nid:
+                prefix, local = nid.split(":", 1)
+                if prefix in ctx.terms and not local.startswith("//"):
+                    return iri(ctx.terms[prefix] + local)
             if _ABS_IRI_RE.match(nid):
                 return iri(nid)
-            # CURIE via a context prefix mapping; otherwise @id is
-            # base-relative (NEVER @vocab-expanded, per JSON-LD)
-            if ":" in nid:
-                prefix = nid.split(":", 1)[0]
-                if prefix in ctx.terms:
-                    return iri(ctx.terms[prefix] + nid.split(":", 1)[1])
             return iri(resolve(self.base, nid))
         return self.bnode()
 
@@ -234,7 +235,15 @@ def parse_jsonld(text: str, base: str | None, bnode_factory):
     """A ``<script type="application/ld+json">`` payload → triples.
     Raises ValueError on unparseable JSON (callers emit a processor
     error row, matching the reference's script handling)."""
-    data = json.loads(text)
+    try:
+        data = json.loads(text)
+    except ValueError:
+        # real-world scripts carry //-comment junk (reader_spec.rb
+        # "application/ld+json with junk"); drop comment-only lines
+        # and retry once
+        stripped = "\n".join(
+            ln for ln in text.splitlines() if not ln.lstrip().startswith("//"))
+        data = json.loads(stripped)
     reader = _Reader(base, bnode_factory)
     ctx = _Context()
     for node in _as_list(data):

@@ -45,8 +45,8 @@ _TOKEN_RE = re.compile(
   | (?P<decimal>[+-]?(?:\d*\.\d+))
   | (?P<integer>[+-]?\d+)
   | (?P<punct>\^\^|[;,.\[\]()])
-  | (?P<bnode>_:[A-Za-z0-9_][A-Za-z0-9_.\-]*)
-  | (?P<pname>[A-Za-z0-9_\-]*:[A-Za-z0-9_\-.%:/#]*)
+  | (?P<bnode>_:[A-Za-z0-9_][A-Za-z0-9_.\-]*(?<!\.))
+  | (?P<pname>[A-Za-z0-9_\-]*:(?:[A-Za-z0-9_\-.%:/#]*[A-Za-z0-9_\-%:/#])?)
   | (?P<kw>a|true|false)
     """,
     re.X,

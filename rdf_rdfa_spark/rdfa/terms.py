@@ -29,8 +29,14 @@ def bnode(label: str):
 def literal(lexical: str, lang: str | None = None, datatype: str | None = None):
     # A language-tagged literal never also carries a datatype column here;
     # rdf:langString is implicit (matches N-Triples serialization rules).
+    # RDF 1.1 literal identity: "x" IS "x"^^xsd:string — canonicalize to
+    # the plain form so graph comparison and dedup treat them as one term
+    # (RDF.rb does the same, which is why be_equivalent_graph passes on
+    # mixed plain/xsd:string goldens).
     if datatype is not None:
         lang = None
+        if datatype == XSD_STRING:
+            datatype = None
     return (LITERAL, lexical, lang, datatype)
 
 

@@ -545,8 +545,11 @@ class RdfaWalker:
             if not attrs["vocab"]:
                 default_vocabulary = self.host_defaults.get("vocabulary")
             else:
-                self.add_triple(iri(base), iri(RDFA_USESVOCABULARY), iri(attrs["vocab"]))
-                default_vocabulary = attrs["vocab"]
+                # uri(attrs[:vocab]) at reader.rb:798 — the vocabulary
+                # IRI is resolved against base (vocab="#" is legal)
+                vocab_iri = R.resolve(base, attrs["vocab"]) if base else attrs["vocab"]
+                self.add_triple(iri(base), iri(RDFA_USESVOCABULARY), iri(vocab_iri))
+                default_vocabulary = vocab_iri
 
         # [Step 3] prefix mappings (reader.rb:643-715) — handled above
         # with copy-on-write of the mapping dicts

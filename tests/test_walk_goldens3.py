@@ -36,9 +36,11 @@ def test_jens_ice_cream():
     </div></root>"""
     got = parse(html)
     want = {
-        (I(BASE), I(RDFA + "usesVocabulary"), I("#")),
+        # vocab="#" resolves against base (uri(attrs[:vocab]),
+        # reader.rb:798)
+        (I(BASE), I(RDFA + "usesVocabulary"), I(BASE + "#")),
         (I(BASE), I(RDFA + "usesVocabulary"), I(RDF)),
-        (B("a"), I("#flavor"), B("l1")),
+        (B("a"), I(BASE + "#flavor"), B("l1")),
         (B("l1"), I(RDF + "first"), L("Lemon sorbet")),
         (B("l1"), I(RDF + "rest"), B("l2")),
         (B("l2"), I(RDF + "first"), L("Apricot sorbet")),
