@@ -101,7 +101,7 @@ def extract_text_value(html) -> str:
     reference's inner_text does (nokogiri.rb:96-101, rexml.rb:109-114)."""
     if isinstance(html, bytes):
         html = decode_html(html)
-    root, _ = parse_html(html)
+    root, _, _ = parse_html(html)
     return root.inner_text
 
 

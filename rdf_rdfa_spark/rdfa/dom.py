@@ -238,6 +238,9 @@ class _TreeBuilder(HTMLParser):
         self.root_children: list = []
         self.stack: list[Element] = []
         self.doctype: str = ""
+        # malformed-markup messages, surfaced like Nokogiri doc.errors
+        # (reader.rb:346 joins the unique messages into one error row)
+        self.errors: list[str] = []
 
     # -- helpers --
     def _append(self, node):
@@ -316,7 +319,8 @@ def _reparent(el: Element, parent: Element | None):
 
 
 def parse_html(text: str, html_host: bool = True, fast: bool = True):
-    """Parse an HTML document → (root Element, doctype string).
+    """Parse an HTML document → (root Element, doctype string,
+    malformed-markup messages).
 
     For HTML host languages, normalizes to an html/(head)/body
     superstructure the way an HTML5 tree builder does, so the
@@ -349,7 +353,7 @@ def parse_html(text: str, html_host: bool = True, fast: bool = True):
         if root is None:
             root = Element("html", {})
         _reparent(root, None)
-        return root, tb.doctype
+        return root, tb.doctype, tb.errors
     html = next(
         (n for n in nodes if isinstance(n, Element) and n.name == "html"), None
     )
@@ -384,7 +388,7 @@ def parse_html(text: str, html_host: bool = True, fast: bool = True):
         new_children.append(body)
         html.children = new_children
     _reparent(html, None)
-    return html, tb.doctype
+    return html, tb.doctype, tb.errors
 
 
 # --- host language / version detection (nokogiri.rb:190-272) -----------
@@ -544,7 +548,13 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
             tb.handle_data(_unescape(data) if "&" in data else data)
         m = _FAST_TOKEN.match(text, lt)
         if m is None:
-            # stray '<' that opens no token: emit as text
+            # stray '<' that opens no token: emit as text. A '<' that
+            # LOOKS like a tag opener but never terminates is the
+            # malformed-markup signal Nokogiri reports as a doc error.
+            nxt = text[lt + 1 : lt + 2]
+            if nxt and (nxt.isalpha() or nxt in "/!"):
+                tb.errors.append(
+                    "malformed tag at offset %d: %r" % (lt, text[lt : lt + 24]))
             tb.handle_data("<")
             pos = lt + 1
             continue

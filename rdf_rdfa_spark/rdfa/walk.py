@@ -1012,10 +1012,15 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
     # xhtml1/xhtml5/xml/svg parse as XML — first element is the root
     # (nokogiri.rb:173-185 parser selection)
     hl, ver = detect_host_language_version(text, host_language, version)
-    root, _doctype = parse_html(text, html_host=hl in ("html4", "html5"))
+    root, _doctype, doc_errors = parse_html(text, html_host=hl in ("html4", "html5"))
     w = RdfaWalker(url, host_language=hl, version=ver, rdfagraph=rdfagraph,
                    reference_folding=reference_folding,
                    processor_info=processor_info, processor_ptr=processor_ptr,
                    vocab_expansion=vocab_expansion, microdata=microdata)
+    if doc_errors:
+        # one rdfa:Error row with the unique messages joined
+        # (reader.rb:346: add_error(nil, doc_errors.map(&:message)...))
+        seen = list(dict.fromkeys(doc_errors))
+        w.add_error(None, "\n".join(seen))
     w.parse(root, source_text=text)
     return list(w.triples), list(w.processor), root

@@ -85,7 +85,7 @@ def test_fast_tokenizer_equivalent_to_stdlib(soup):
     doc = "<html><body>%s</body></html>" % soup
 
     def run(fast):
-        root, _ = parse_html(doc, html_host=True, fast=fast)
+        root, _, _ = parse_html(doc, html_host=True, fast=fast)
         w = RdfaWalker("http://example.org/", host_language="html5")
         w.parse(root, source_text=doc)
         return list(w.triples)
@@ -106,7 +106,7 @@ def test_stdlib_path_unterminated_constructs_match_fast():
         doc = "<html><body>%s</body></html>" % soup
 
         def run(fast):
-            root, _ = parse_html(doc, html_host=True, fast=fast)
+            root, _, _ = parse_html(doc, html_host=True, fast=fast)
             w = RdfaWalker("http://example.org/", host_language="html5")
             w.parse(root, source_text=doc)
             return list(w.triples)
