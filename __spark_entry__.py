@@ -39,6 +39,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+# embeddings.parquet is generated with a fixed width at every sf
+EMB_DIM = 64
+
+
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -174,7 +178,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dups(_dup_corpus(spark, sf_dir), max_hamming=3)
+    # md5-based 60-bit token hash: bit-identical to the DuckDB oracle
+    # (production default is the faster JVM xxhash64; same plan shape)
+    return dedup.simhash_near_dups(
+        _dup_corpus(spark, sf_dir), max_hamming=3,
+        hash_fn=dedup.md5_60bit, nbits=60)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +264,8 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(
-        _embeddings(spark, sf_dir), _queries_df(spark, sf_dir), k=10
+        _embeddings(spark, sf_dir), _queries_df(spark, sf_dir), k=10,
+        dim=EMB_DIM,
     ).select("qid", "vec_id", "rank")
 
 
@@ -380,6 +389,42 @@ SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
 FROM documents WHERE doc_id % 10 = 0
 """
 
+# SimHash with the md5-60bit token hash, recomputed exactly in SQL:
+# hex-parse the top 15 md5 chars per token (shifts, not float pow —
+# 16^14 > 2^53 loses precision as double), ±1 votes per bit, pack,
+# then the full O(n²) hamming join (oracle-only; the Spark side uses
+# the 4×16-bit block trick, which is exact for hamming ≤ 3).
+_DEDUP_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM ({dup})
+),
+th AS (
+  SELECT id,
+    list_sum(list_transform(range(1, 16), i ->
+      CAST(strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1
+           AS BIGINT) << ((15 - i) * 4))) AS h
+  FROM toks
+),
+votes AS (
+  SELECT id, b.b AS b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th, (SELECT unnest(range(0, 60)) AS b) b
+  GROUP BY id, b.b
+),
+sig AS (
+  SELECT id,
+         SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+           AS simhash
+  FROM votes GROUP BY id
+)
+SELECT a.id AS a, b.id AS b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""".format(dup=_DUP_CORPUS_SQL)
+
 # exact token-set Jaccard over all pairs (DuckDB list ops). Matches
 # the Spark LSH path exactly because uncapped b=16/r=4 banding at
 # threshold 0.9 has ~zero false-negative probability and the verify
@@ -447,6 +492,134 @@ SELECT qid, vec_id, rank FROM (
   FROM scored
 ) WHERE rank <= 10
 """
+
+# hyperplane-LSH top-k with the SAME deterministic hyperplanes as the
+# Spark side (similarity.hyperplanes literals → VALUES rows), the same
+# sequential-fold dot products, and the same (desc cosine, asc vec_id)
+# rank tie-break — bit-identical buckets and ranks.
+_COSINE_EXPR = """
+    list_sum(list_transform(range(1, len(v.v) + 1),
+             i -> CAST(v.v[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(v.v,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+
+def _planes_values_sql(planes) -> str:
+    return ",\n    ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(c) for c in p))
+        for i, p in enumerate(planes)
+    )
+
+
+def _ann_lsh_sql() -> str:
+    planes = similarity.hyperplanes(EMB_DIM, 8)  # lsh_ann_topk defaults
+    bucket = """
+  SELECT t.{id} AS {id},
+         SUM(CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+               i -> CAST(t.{vc}[i] AS DOUBLE) * p.p[i])) > 0
+             THEN CAST(1 AS BIGINT) << p.pidx ELSE CAST(0 AS BIGINT) END)
+           AS bucket
+  FROM {src} t, planes p GROUP BY t.{id}"""
+    return """
+WITH planes(pidx, p) AS (VALUES
+    {planes}),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding AS v FROM embeddings),
+vb AS ({vb}),
+qb AS ({qb}),
+scored AS (
+  SELECT q.qid, v.vec_id, {cos} AS cosine
+  FROM v JOIN vb USING (vec_id)
+       JOIN qb ON vb.bucket = qb.bucket
+       JOIN q ON q.qid = qb.qid
+)
+SELECT qid, vec_id, rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""".format(
+        planes=_planes_values_sql(planes),
+        vb=bucket.format(id="vec_id", vc="v", src="v", dim=EMB_DIM),
+        qb=bucket.format(id="qid", vc="qv", src="q", dim=EMB_DIM),
+        cos=_COSINE_EXPR,
+    )
+
+
+def _ivf_sql(nlist: int = 8, nprobe: int = 4, k: int = 10) -> str:
+    """IVF top-k mirroring ivf_ann_topk exactly: id-strided seeds,
+    two unrolled Lloyd rounds with fixed-point (2^20) per-dimension
+    means (integer sums are order-independent, so Spark's partition
+    merge order can't perturb the centroids), nearest-centroid
+    assignment and nprobe probing with (desc sim, asc cid) ties."""
+    dim = EMB_DIM
+    # best-by-cosine helper: pick n_best centroids per row of src
+    best = """
+  SELECT * FROM (
+    SELECT s.*, c.cid, c.center,
+           row_number() OVER (PARTITION BY s.{id} ORDER BY
+             list_sum(list_transform(range(1, {dim} + 1),
+               i -> s.{vc}[i] * c.center[i]))
+             / (sqrt(list_sum(list_transform(s.{vc}, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.center, x -> x * x))))
+             DESC, c.cid ASC) AS _r
+    FROM {src} s, {cents} c
+  ) WHERE _r <= {nbest}"""
+    cent = """
+  SELECT cid, list(m ORDER BY pos) AS center FROM (
+    SELECT cid, r.i AS pos,
+           CAST(SUM(CAST(FLOOR(a.v[r.i] * 1048576) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 1048576.0 AS m
+    FROM {assign} a, range(1, {dim} + 1) r(i)
+    GROUP BY cid, r.i
+  ) GROUP BY cid"""
+    return """
+WITH q AS (SELECT vec_id AS qid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+cnt AS (SELECT GREATEST(COUNT(*) // {nlist}, 1) AS stride FROM v),
+seeds AS (SELECT vec_id AS cid, v AS center FROM v, cnt
+          WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT {nlist}),
+a1 AS ({a1}),
+c1 AS ({c1}),
+a2 AS ({a2}),
+c2 AS ({c2}),
+av AS ({av}),
+qp AS ({qp}),
+scored AS (
+  SELECT DISTINCT q.qid, v.vec_id, {cos} AS cosine
+  FROM av JOIN qp USING (cid)
+       JOIN v ON v.vec_id = av.vec_id
+       JOIN q ON q.qid = qp.qid
+)
+SELECT qid, vec_id, rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".format(
+        nlist=nlist, k=k,
+        a1=best.format(id="vec_id", vc="v", src="v", cents="seeds",
+                       nbest=1, dim=dim),
+        c1=cent.format(assign="a1", dim=dim),
+        a2=best.format(id="vec_id", vc="v", src="v", cents="c1",
+                       nbest=1, dim=dim),
+        c2=cent.format(assign="a2", dim=dim),
+        av=best.format(id="vec_id", vc="v", src="v", cents="c2",
+                       nbest=1, dim=dim),
+        qp=best.format(id="qid", vc="qv", src="q", cents="c2",
+                       nbest=nprobe, dim=dim),
+        cos=_COSINE_EXPR,
+    )
+
 
 # exact cosine pairs over the duplicated embedding corpus, same float
 # accumulation order as the Spark side
@@ -583,8 +756,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash": _DEDUP_MINHASH_SQL,
+        "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ivf_sql(nlist=8, nprobe=4, k=10),
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_lsh": _EMB_NEAR_DUP_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

@@ -111,26 +111,39 @@ def sameas_clusters(triples: DataFrame) -> DataFrame:
                      F.col("component").alias("canonical"))
 
 
-def link_entities(triples: DataFrame, use_sameas: bool = True) -> DataFrame:
+def link_entities(triples: DataFrame, use_sameas: bool = True,
+                  max_broadcast_rows: int | None = 10_000_000) -> DataFrame:
     """Rewrite subj/obj to canonical entity IRIs.
 
     The cluster map is usually tiny relative to the corpus (only
     entities participating in sameAs edges); broadcast it so the
     100 TB triples table is never shuffled — two broadcast hash joins,
     zero exchanges on the big side.
+
+    ``max_broadcast_rows`` guards the broadcast: above it (~400 MB of
+    IRI pairs, the practical executor-memory ceiling long before
+    spark.sql.autoBroadcastJoinThreshold matters) the joins fall back
+    to shuffle hash joins — slower, but they can't OOM an executor.
+    Pass None to force the broadcast unconditionally.
     """
     out = triples
     if use_sameas:
         cmap = sameas_clusters(triples)
+        side = F.broadcast
+        if max_broadcast_rows is not None:
+            # the CC fixpoint materialized `cmap` via localCheckpoint,
+            # so this count reuses that work rather than recomputing
+            if cmap.count() > max_broadcast_rows:
+                side = lambda df: df.hint("shuffle_hash")  # noqa: E731
         out = (
-            out.join(F.broadcast(cmap), out["subj"] == cmap["entity"], "left")
+            out.join(side(cmap), out["subj"] == cmap["entity"], "left")
             .withColumn("subj", F.coalesce("canonical", "subj"))
             .drop("entity", "canonical")
         )
         cmap2 = cmap.withColumnRenamed("entity", "entity2").withColumnRenamed(
             "canonical", "canonical2")
         out = (
-            out.join(F.broadcast(cmap2),
+            out.join(side(cmap2),
                      (out["obj"] == cmap2["entity2"]) & (out["obj_kind"] == "iri"),
                      "left")
             .withColumn("obj", F.coalesce("canonical2", "obj"))

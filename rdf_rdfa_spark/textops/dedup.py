@@ -1,18 +1,14 @@
 """Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Exact/n-gram paths are pure JVM expressions; SimHash is a vectorized
-Arrow pandas UDF (numpy bit-twiddling over token hash arrays).
-MinHash+LSH lives in pipeline.canonicalize (shared with entity
-canonicalization) and is re-exported here.
+All paths are pure JVM expressions (whole-stage codegen) — SimHash
+votes/bit-packing fold with aggregate/zip_with over literal masks, no
+Python in any hot path.  MinHash+LSH lives in pipeline.canonicalize
+(shared with entity canonicalization) and is re-exported here.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 from ..pipeline.session import fan_out
 from ..pipeline.canonicalize import (  # noqa: F401  (re-export)
@@ -41,44 +37,69 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     )
 
 
-@pandas_udf(LongType())
-def _simhash64(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash over token lists (Charikar 2002): sum ±1 per bit
-    weighted by token frequency; vectorized with numpy."""
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            continue
-        # FNV-1a 64-bit per token, vectorized over the token array
-        hs = np.zeros(len(toks), dtype=np.uint64)
-        for j, t in enumerate(toks):
-            h = np.uint64(0xCBF29CE484222325)
-            for ch in t.encode("utf-8"):
-                h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            hs[j] = h
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        votes = np.where(bits == 1, 1, -1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+def md5_60bit(t):
+    """Token hash expressible identically in DuckDB — the top 15 hex
+    chars of md5 as a 60-bit int (16^15 < 2^63, ANSI-safe).  Used by
+    the value-oracled entry query; production defaults to the faster
+    JVM xxhash64."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def _bit_masks(nbits: int):
+    """Literal array of single-bit masks, two's-complement wrapped so
+    bit 63 is representable as int64."""
+    masks = []
+    for b in range(nbits):
+        m = 1 << b
+        if m >= 1 << 63:
+            m -= 1 << 64
+        masks.append(m)
+    return F.array(*[F.lit(m).cast("long") for m in masks])
+
+
+def simhash_sig(tokens_col, hash_fn=None, nbits: int = 64):
+    """Column expression: SimHash signature (Charikar 2002) of a token
+    array.  Entirely JVM-side (whole-stage codegen): per-token hash →
+    per-bit ±1 votes folded with aggregate/zip_with over literal bit
+    masks → bit pack.  No Python in the hot path."""
+    hash_fn = hash_fn or (lambda t: F.xxhash64(t))
+    masks = _bit_masks(nbits)
+    hashes = F.transform(tokens_col, hash_fn)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(
+                h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda vv, m: F.when(
+            vv > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id", hash_fn=None,
+            nbits: int = 64) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return fan_out(docs).select(F.col(id_col).alias("id"),
-                                _simhash64(toks).alias("simhash"))
+    return fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        simhash_sig(toks, hash_fn, nbits).alias("simhash"))
 
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      hash_fn=None, nbits: int = 64) -> DataFrame:
     """Candidate pairs whose SimHash Hamming distance ≤ k, using the
     4-block trick: two signatures within Hamming 3 share at least one
-    identical 16-bit block → groupBy block value, join within buckets."""
-    sh = simhash(docs, text_col, id_col).cache()
+    identical 16-bit block → groupBy block value, join within buckets.
+    Exact for max_hamming ≤ 3 (pigeonhole over the 4 blocks)."""
+    sh = simhash(docs, text_col, id_col, hash_fn, nbits).cache()
     blocks = sh.select(
         "id", "simhash",
         F.explode(F.array(*[

@@ -80,11 +80,16 @@ def lsh_bucket_col(vec_col, planes) -> "F.Column":
 def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                  n_planes: int = 8, id_col: str = "vec_id",
                  vec_col: str = "embedding", qid_col: str = "qid",
-                 qvec_col: str = "qvec") -> DataFrame:
+                 qvec_col: str = "qvec", dim: int | None = None) -> DataFrame:
     """Approximate top-k: probe only the query's LSH bucket. At 100 TB
     the bucket column is a partition key of the materialized index —
-    the scan prunes to 1/2^n_planes of the corpus per query."""
-    dim = len(vectors.select(vec_col).first()[0])
+    the scan prunes to 1/2^n_planes of the corpus per query.
+
+    Pass ``dim`` explicitly (the caller knows its embedding width);
+    the ``.first()`` fallback is a convenience that runs a driver
+    action during plan construction — never use it in pipelines."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -129,23 +134,33 @@ def _pairwise_best(vectors: DataFrame, centroids: DataFrame,
     )
 
 
+# Fixed-point scale for centroid accumulation: summing
+# floor(val * 2^20) as exact integers makes the per-dimension mean
+# independent of partition/merge order (float SUM is not associative;
+# integer SUM is), so training is bit-reproducible run-to-run and
+# against the SQL oracle. Range: |val| ≤ 1, so the sum stays < 2^63
+# for corpora up to ~8.8e12 vectors per centroid — ANSI-safe.
+_IVF_FP_SCALE = 1 << 20
+
+
 def ivf_train(vectors: DataFrame, nlist: int = 16, iters: int = 2,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Train IVF coarse centroids with a couple of Lloyd rounds,
-    entirely in DataFrame ops (posexplode → per-dimension mean).
-    Deterministic init: evenly-strided vectors by id order."""
+    entirely in DataFrame ops (posexplode → per-dimension fixed-point
+    mean).  Deterministic init: id-strided sampling + TakeOrdered —
+    no un-partitioned Window anywhere in the plan (a global
+    row_number would funnel the corpus through one task)."""
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).cache()
     n = v.count()
     stride = max(n // nlist, 1)
-    w = Window.orderBy("vec_id")
     seeds = (
-        v.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") % stride == 1) | (F.lit(stride) == 1))
+        v.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")  # TakeOrderedAndProject with the limit below
         .limit(nlist)
-        .select(F.col("_rn").alias("cid"), F.col("v").alias("center"))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("center"))
     )
     centroids = seeds
     for _ in range(iters):
@@ -153,7 +168,15 @@ def ivf_train(vectors: DataFrame, nlist: int = 16, iters: int = 2,
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.sum(F.floor(F.col("val") * _IVF_FP_SCALE).cast("long")
+                      ).alias("s"),
+                F.count("*").alias("c"),
+            )
+            .withColumn(
+                "m",
+                F.col("s").cast("double") / F.col("c").cast("double")
+                / float(_IVF_FP_SCALE))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("sm"))
             .select("cid", F.transform("sm", lambda s: s["m"]).alias("center"))

@@ -97,6 +97,34 @@ def test_connected_components(spark):
     assert cc["f"] == "f"
 
 
+def test_link_entities_broadcast_and_shuffle_paths(spark):
+    """link_entities must rewrite identically whether the cluster map
+    is broadcast (default) or falls back to a shuffle join above the
+    max_broadcast_rows guard."""
+    from rdf_rdfa_spark.pipeline.link import link_entities
+
+    rows = [
+        ("u1", "http://e/a", "http://www.w3.org/2002/07/owl#sameAs",
+         "http://e/b", "iri"),
+        ("u1", "http://e/b", "http://e/p", "val", "literal"),
+        ("u2", "http://e/c", "http://e/p", "http://e/a", "iri"),
+    ]
+    triples = spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, "
+              "obj_kind string")
+
+    def canon(df):
+        return sorted((r["subj"], r["pred"], r["obj"])
+                      for r in df.collect())
+
+    broadcast = canon(link_entities(triples))
+    shuffled = canon(link_entities(triples, max_broadcast_rows=0))
+    assert broadcast == shuffled
+    # a and b collapse to the lexicographic min (http://e/a)
+    assert ("http://e/a", "http://e/p", "val") in broadcast
+    assert ("http://e/c", "http://e/p", "http://e/a") in broadcast
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog " * 8
     near = base.replace("lazy", "sleepy", 1)
