@@ -71,13 +71,21 @@ def split_hot_keys(
     small: DataFrame,
     key: str,
     hot_threshold: int = 100_000,
+    max_hot_keys: int = 10_000,
 ) -> DataFrame:
     """Skew-aware join: keys above hot_threshold in ``big`` join via
     broadcast of the matching ``small`` slice; the tail joins
-    normally. Returns the union (inner join semantics)."""
+    normally. Returns the union (inner join semantics).
+
+    Contract: the hot set is driver-collected, so it is explicitly
+    CAPPED at ``max_hot_keys`` (the heaviest keys win).  The cap bounds
+    driver memory to ~max_hot_keys key strings; by definition at most
+    |big| / hot_threshold keys can exceed the threshold, so at 100 TB
+    with the default threshold the cap never binds in practice."""
     counts = big.groupBy(key).agg(F.count("*").alias("_n"))
-    hot = counts.filter(F.col("_n") >= hot_threshold).select(key)
-    hot_rows = [r[0] for r in hot.collect()]  # hot set is tiny by nature
+    hot = (counts.filter(F.col("_n") >= hot_threshold)
+           .orderBy(F.desc("_n")).limit(max_hot_keys).select(key))
+    hot_rows = [r[0] for r in hot.collect()]
     if not hot_rows:
         return big.join(small, key)
     big_hot = big.filter(F.col(key).isin(hot_rows))

@@ -129,6 +129,38 @@ def test_rdfagraph_malformed_prefix(prefix):
     assert _ask_class(_processor(html), RDFA_UNRESOLVED_CURIE)
 
 
+# --- @vocab term validity (reader_spec.rb:673-711) -------------------
+# valid terms expand against @vocab; invalid ones (CURIE-looking,
+# non-NCName-start, backslash junk) must NOT produce the vocab IRI.
+
+_TERM_ACCEPT = ["term", "A/B", "a09b", "a_b", "a.b"]
+# NB: the spec's last reject is %q with a backslash-u escape; Ruby %q
+# keeps the backslash literally, so the term under test is the
+# 9-char string backslash-u-0-3-0-1-f-o-o
+_TERM_REJECT = ["prefix:suffix", "/path", "1leading_numeric",
+                "\\u0301foo"]
+
+
+def _vocab_term_triples(term):
+    html = ('<span vocab="http://example/" property="%s">Foo</span>' % term)
+    out, _, _ = parse_rdfa(html, url="http://example/")
+    return set(out)
+
+
+@pytest.mark.parametrize("term", _TERM_ACCEPT)
+def test_vocab_term_accepted(term):
+    got = _vocab_term_triples(term)
+    assert (iri("http://example/"), iri("http://example/" + term),
+            literal("Foo")) in got, sorted(got)
+
+
+@pytest.mark.parametrize("term", _TERM_REJECT)
+def test_vocab_term_rejected(term):
+    got = _vocab_term_triples(term)
+    assert (iri("http://example/"), iri("http://example/" + term),
+            literal("Foo")) not in got, sorted(got)
+
+
 def test_rdfagraph_unresolved_term():
     html = ('<!DOCTYPE html>\n<div property="undefined_term">'
             "Undefined Term</div>")
