@@ -177,6 +177,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _dup_corpus(spark, sf_dir), n=3, threshold=0.8).select(
+        "a", "b",
+        F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_bp"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-based 60-bit token hash: bit-identical to the DuckDB oracle
     # (production default is the faster JVM xxhash64; same plan shape)
@@ -290,6 +297,12 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(_events(spark, sf_dir))
 
 
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark-native session_window (streaming-capable stateful op);
+    # value oracle replays the gap semantics with lag/cumsum SQL
+    return events.session_windows(_events(spark, sf_dir))
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.props_key_counts(_events(spark, sf_dir))
 
@@ -324,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
@@ -338,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_session_windows": q_events_session_windows,
         "events_props": q_events_props,
     }
 
@@ -424,6 +439,61 @@ SELECT a.id AS a, b.id AS b,
 FROM sig a JOIN sig b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """.format(dup=_DUP_CORPUS_SQL)
+
+# blocked n-gram Jaccard, replayed exactly: same tokenization, same
+# (lang | length-centile) blocking — CAST(...AS INT) in DuckDB ROUNDS,
+# so FLOOR first to match Spark's truncating cast — same distinct-gram
+# sets, same int/int → double division.
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, lang, n_chars,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM ({dup})
+),
+g AS (
+  SELECT id,
+         lang || '|' || CAST(CAST(FLOOR(n_chars / 100) AS INT) AS VARCHAR)
+           AS bucket,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+         ELSE [] END AS grams
+  FROM toks
+),
+gg AS (SELECT * FROM g WHERE len(grams) > 0)
+SELECT a.id AS a, b.id AS b,
+       CAST(FLOOR((len(list_intersect(a.grams, b.grams))
+            / len(list_distinct(list_concat(a.grams, b.grams)))) * 10000)
+            AS BIGINT) AS jaccard_bp
+FROM gg a JOIN gg b ON a.bucket = b.bucket AND a.id < b.id
+WHERE len(list_intersect(a.grams, b.grams))
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+""".format(dup=_DUP_CORPUS_SQL)
+
+# Spark-native session_window replayed with lag/cumsum: a new session
+# starts strictly MORE than the gap after the previous event (probed:
+# an event exactly gap seconds later merges); value_cents is a sum of
+# per-event integer cents (order-independent on both engines)
+_SESSION_WINDOWS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM s GROUP BY user_id, sid
+"""
 
 # exact token-set Jaccard over all pairs (DuckDB list ops). Matches
 # the Spark LSH path exactly because uncapped b=16/r=4 banding at
@@ -757,6 +827,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash": _DEDUP_MINHASH_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "events_session_windows": _SESSION_WINDOWS_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),

@@ -129,11 +129,14 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
 def ngram_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Distinct word-n-gram arrays per doc (JVM transform over token
-    index range)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    index range).  Docs with fewer than n tokens get an empty array —
+    the CASE guard matters: sequence(0, -1) DESCENDS in Spark, which
+    would feed slice() an invalid 0 index under ANSI mode."""
     grams = F.expr(
-        "array_distinct(transform(sequence(0, greatest(size({t}) - {n}, -1)), "
-        "i -> concat_ws(' ', slice({t}, i + 1, {n}))))".format(
+        "CASE WHEN size({t}) >= {n} THEN "
+        "array_distinct(transform(sequence(1, size({t}) - {n} + 1), "
+        "i -> concat_ws(' ', slice({t}, i, {n})))) "
+        "ELSE array() END".format(
             t="split(lower(trim(%s)), '\\\\s+')" % text_col, n=n
         )
     )
@@ -154,6 +157,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     else:
         bucket = bucket_col
     g = g.join(docs.select(F.col(id_col).alias("id"), bucket.alias("bucket")), "id")
+    # a doc with no n-grams has no defined Jaccard against anything
+    g = g.filter(F.size("grams") > 0)
     a = g.select(F.col("id").alias("a"), F.col("grams").alias("ga"), "bucket")
     b = g.select(F.col("id").alias("b"), F.col("grams").alias("gb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))

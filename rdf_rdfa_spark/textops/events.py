@@ -48,6 +48,34 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session aggregation with Spark's NATIVE session_window —
+    the same groupBy works unchanged under Structured Streaming
+    (stateful session merging with watermark eviction), unlike the
+    lag/cumsum formulation in :func:`sessionize` which is batch-only.
+    Returns (user_id, session_start, n_events, value_cents)."""
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", "%d minutes" % gap_minutes),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            # per-event integer cents, then an integer sum — exact and
+            # independent of partial-aggregation merge order (a float
+            # SUM then floor would be partition-order-sensitive)
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def props_key_counts(events: DataFrame) -> DataFrame:
     """JSON property access: distribution of props.k modulo 10."""
     k = F.get_json_object("props", "$.k").cast("long")

@@ -321,6 +321,39 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out_dir).count() == len(got)
 
 
+def test_session_windows_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """session_windows is the streaming-capable sessionizer: the same
+    groupBy(session_window) runs under readStream (stateful session
+    merging + watermark) and drains to exactly the batch output."""
+    import os
+    from pyspark.sql import functions as F
+    from rdf_rdfa_spark.textops.events import session_windows
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    in_dir = str(tmp_path / "events_in")
+    events.write.parquet(in_dir)
+
+    # watermarks require TIMESTAMP (LTZ); the parquet column is NTZ —
+    # cast identically on both sides
+    cast_ts = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))  # noqa: E731
+    events = cast_ts(events)
+    stream = cast_ts(
+        spark.readStream.schema(
+            spark.read.parquet(in_dir).schema).parquet(in_dir)
+    ).withWatermark("ts", "1 hour")
+    q = (
+        session_windows(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("sess_win")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sess_win").collect()}
+    want = {tuple(r) for r in session_windows(events).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     from rdf_rdfa_spark.pipeline.skew import host_rollup
 
