@@ -316,6 +316,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = multimodal.documents_as_binary(_docs(spark, sf_dir))
+    return multimodal.resize_images(payloads, width=32, height=32)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = multimodal.documents_as_binary(_docs(spark, sf_dir))
+    return multimodal.sample_frames(payloads, max_frames=8)
+
+
 # === driver contract =========================================================
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -350,6 +360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_session_windows": q_events_session_windows,
@@ -797,6 +809,25 @@ SELECT doc_id AS id, 'text' AS modality,
 FROM documents
 """
 
+# resize/frame-sample stubs are deterministic functions of the source
+# bytes, so the full mapInPandas fan-out is value-oracled in SQL;
+# strlen() = BYTE length in DuckDB (length() counts characters)
+_MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id AS id, 'text' AS modality,
+       CASE WHEN strlen(text) > 0 THEN 32 END AS width,
+       CASE WHEN strlen(text) > 0 THEN 32 END AS height,
+       CASE WHEN strlen(text) > 0 THEN md5(text || ':32x32') END
+         AS payload_md5
+FROM documents
+"""
+
+_MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id AS id, CAST(r.i AS INTEGER) AS frame_idx,
+       md5(text || ':' || CAST(r.i AS VARCHAR)) AS frame_md5
+FROM documents, range(0, 8) r(i)
+WHERE strlen(text) > 0 AND r.i <= strlen(text) % 8
+"""
+
 _PROCESSOR_COUNTS_SQL = """
 SELECT pred, n FROM (
   SELECT '{t}' AS pred, COUNT(*) AS n FROM documents WHERE doc_id % 13 = 0
@@ -841,6 +872,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+        "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
        CAST(FLOOR(SUM(value * 100)) AS BIGINT) AS value_cents

@@ -321,6 +321,36 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out_dir).count() == len(got)
 
 
+def test_stream_dedup_exact_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState online dedup: each fingerprint emitted
+    exactly once across micro-batches AND across restarts; duplicates
+    appended later never re-emit (state survives in the checkpoint)."""
+    import os
+    from pyspark.sql import functions as F
+    from rdf_rdfa_spark.pipeline.streaming import stream_dedup_exact
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.parquet(in_dir)
+
+    q = stream_dedup_exact(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    want_fps = {r[0] for r in
+                docs.select(F.md5("text")).distinct().collect()}
+    assert {r["fingerprint"] for r in got.collect()} == want_fps
+    assert got.count() == len(want_fps)
+
+    # append exact duplicates under new ids → nothing new is emitted
+    docs.selectExpr("doc_id + 500000 AS doc_id", "text", "lang",
+                    "source", "n_chars").write.mode("append").parquet(in_dir)
+    q2 = stream_dedup_exact(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(want_fps)
+
+
 def test_session_windows_streaming_matches_batch(spark, sf_dir, tmp_path):
     """session_windows is the streaming-capable sessionizer: the same
     groupBy(session_window) runs under readStream (stateful session
