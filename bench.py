@@ -122,6 +122,16 @@ def run_bench(sf_dir: str, cores: int, repeat: int = BENCH_REPEAT,
 
     timed("q7_text_analysis", _q7)
 
+    # q8: SimHash near-dup in the production configuration (xxhash64
+    # token hashes; the entry query uses the md5-60bit oracle variant)
+    timed("q8_dedup_simhash",
+          lambda: _dedup.simhash_near_dups(
+              E._dup_corpus(spark, sf_dir), max_hamming=3).count())
+
+    # q9: native session_window aggregation over events
+    timed("q9_session_windows",
+          lambda: E.q_events_session_windows(spark, sf_dir).count())
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = re.search(r"sf([0-9.]+)", sf_dir)
