@@ -352,7 +352,13 @@ class RdfaHtmlWriter:
         return out
 
     def _list_items(self, head) -> list | None:
-        """head term → item terms if head starts a well-formed rdf:List."""
+        """head term → item terms if head starts a PURE rdf:List: every
+        spine cell has exactly one rdf:first + one rdf:rest and nothing
+        else.  Cells carrying extra triples (e.g. an explicit rdf:type
+        rdf:List, as real crawled pages produce) are NOT folded into
+        @inlist — they render as ordinary nested bnodes, so no triple
+        is lost in the round-trip.  (The reference's RDF::List folding
+        silently drops such extras; we diverge for fidelity.)"""
         if head == iri_t(_RDF_NIL):
             return None
         items, node, hops = [], head, 0
@@ -360,8 +366,8 @@ class RdfaHtmlWriter:
             if node[0] != "bnode" or hops > 10000:
                 return None
             pv = self.props.get(node)
-            if (pv is None or len(pv.get(_RDF_FIRST, [])) != 1
-                    or len(pv.get(_RDF_REST, [])) != 1):
+            if (pv is None or set(pv) != {_RDF_FIRST, _RDF_REST}
+                    or len(pv[_RDF_FIRST]) != 1 or len(pv[_RDF_REST]) != 1):
                 return None
             items.append(pv[_RDF_FIRST][0])
             node = pv[_RDF_REST][0]

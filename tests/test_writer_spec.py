@@ -335,6 +335,29 @@ def test_included_resource_definitions():
     })
 
 
+# --- real-page writer round-trip sweep (writer_spec.rb w3c section
+# shape: graph → serialize → re-parse → equivalent) -------------------------
+import os as _os
+
+_EXAMPLES = "/root/reference/example-files"
+
+
+@pytest.mark.skipif(not _os.path.isdir(_EXAMPLES),
+                    reason="reference example files not available")
+@pytest.mark.parametrize("fname", sorted(
+    f for f in (_os.listdir(_EXAMPLES) if _os.path.isdir(_EXAMPLES) else [])
+    if f.endswith((".html", ".xhtml"))))
+def test_real_page_writer_roundtrip(fname):
+    raw = open(_os.path.join(_EXAMPLES, fname), "rb").read()
+    g, _, _ = parse_rdfa(raw, url="http://example.com/" + fname)
+    if not g:
+        pytest.skip("no triples in %s" % fname)
+    html = serialize_rdfa(g)
+    g2, _, _ = parse_rdfa(html, url="http://example.com/" + fname)
+    assert isomorphic(set(g2), set(g)), \
+        "%s: %d → %d triples" % (fname, len(g), len(g2))
+
+
 # --- round-trip through our own reader (writer_spec.rb:546+) ---------------
 def test_writer_roundtrip_through_reader():
     g = [
