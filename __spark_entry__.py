@@ -54,6 +54,23 @@ def q_rdfa_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(pages).select(*_TRIPLE_COLS)
 
 
+def q_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed writer closure: extract → export RDFa pages
+    (applyInPandas per url) → RE-extract → per-url triple counts.
+    Counts match the corpus oracle iff the writer loses/merges
+    nothing; per-page graph ISOMORPHISM is separately pytest-checked
+    (test_writer_spec.py real-page sweep)."""
+    from rdf_rdfa_spark.pipeline.export import export_rdfa_pages
+
+    triples = extract_triples(corpus.pages_df(spark, sf_dir))
+    pages2 = export_rdfa_pages(triples)
+    return (
+        extract_triples(pages2)
+        .groupBy("url")
+        .agg(F.count("*").alias("n_triples"))
+    )
+
+
 def q_rdfa_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_rdfa_extract(spark, sf_dir)
@@ -337,6 +354,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rdfa_extract": q_rdfa_extract,
+        "writer_roundtrip": q_writer_roundtrip,
         "rdfa_pred_counts": q_rdfa_pred_counts,
         "rdfa_text_identity": q_rdfa_text_identity,
         "rdfa_processor_counts": q_rdfa_processor_counts,
@@ -843,6 +861,10 @@ def oracle_sql() -> dict[str, str]:
     triples = corpus.triples_oracle_sql()
     return {
         "rdfa_extract": triples,
+        "writer_roundtrip": (
+            "SELECT url, COUNT(*) AS n_triples FROM (%s) GROUP BY url"
+            % triples
+        ),
         "rdfa_pred_counts": (
             "SELECT pred, COUNT(*) AS n FROM (%s) GROUP BY pred" % triples
         ),

@@ -1,0 +1,67 @@
+"""Distributed RDFa page export: the writer as a Spark stage.
+
+The reference writer is a single-process tool (writer.rb); here the
+same default-template serializer runs per-URL inside applyInPandas,
+turning the (canonicalized) triple store back into RDFa pages at
+corpus scale — one shuffle on url, then embarrassingly parallel
+serialization.  Closed-loop guarantee: re-extracting the exported
+pages yields a graph isomorphic per url to the input (count parity is
+value-oracled as the `writer_roundtrip` driver query; full
+isomorphism is pytest-checked on real pages in test_writer_spec.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..rdfa.terms import bnode, iri, literal
+from ..writer import serialize_rdfa
+
+PAGES_OUT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("html", StringType(), False),
+    ]
+)
+
+
+def _term_for(value: str, kind: str, lang, datatype):
+    if kind == "iri":
+        return iri(value)
+    if kind == "bnode":
+        return bnode(value[2:] if value.startswith("_:") else value)
+    return literal(value, None if lang is None or pd.isna(lang) else lang,
+                   None if datatype is None or pd.isna(datatype)
+                   else datatype)
+
+
+def _subj_term(value: str):
+    return bnode(value[2:]) if value.startswith("_:") else iri(value)
+
+
+def export_rdfa_pages(triples: DataFrame) -> DataFrame:
+    """triples(url, subj, pred, obj, obj_kind, lang, datatype[, graph])
+    → (url, html): one XHTML+RDFa document per source url."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        g = [
+            (_subj_term(s), iri(p), _term_for(o, k, lg, dt))
+            for s, p, o, k, lg, dt in zip(
+                pdf["subj"].values, pdf["pred"].values, pdf["obj"].values,
+                pdf["obj_kind"].values, pdf["lang"].values,
+                pdf["datatype"].values)
+        ]
+        return pd.DataFrame({"url": [url], "html": [serialize_rdfa(g)]})
+
+    cols = triples
+    if "graph" in triples.columns:
+        cols = triples.filter(F.col("graph").isNull())  # output graph only
+    return (
+        cols.select("url", "subj", "pred", "obj", "obj_kind", "lang",
+                    "datatype")
+        .groupBy("url")
+        .applyInPandas(fn, PAGES_OUT_SCHEMA)
+    )
