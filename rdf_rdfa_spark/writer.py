@@ -494,6 +494,11 @@ class RdfaHtmlWriter:
                 element)
         bits = ['property="%s"' % _esc(pred_curie)]
         content = self._content(o)
+        text = self._value(o)
+        if content is not None and content.strip() != content:
+            # readers strip @content (reader.rb:766) — carry the exact
+            # lexical form as element text instead of the machine attr
+            content, text = None, o[1]
         if content is not None:
             bits.append('content="%s"' % _esc(content))
         lg = self._lang_of(o)
@@ -505,8 +510,7 @@ class RdfaHtmlWriter:
         if inlist is not None:
             bits.append('inlist="%s"' % _esc(inlist))
         return "<%s %s>%s</%s>" % (
-            element, " ".join(bits), _escape_entities(self._value(o)),
-            element)
+            element, " ".join(bits), _escape_entities(text), element)
 
     def _render_values(self, pred: str, objects: list, inlist) -> str:
         pred_curie = self.get_curie(iri_t(pred))

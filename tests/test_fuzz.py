@@ -112,3 +112,56 @@ def test_stdlib_path_unterminated_constructs_match_fast():
             return list(w.triples)
 
         assert run(True) == run(False), soup
+
+
+# --- writer round-trip property ----------------------------------------
+
+_IRIS = ["http://ex.org/a", "http://ex.org/b", "http://schema.org/name",
+         "http://ex.org/p?q=1&r=2", "urn:x:y", "http://ex.org/é"]
+_LEX = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    max_size=40,
+) | st.sampled_from(
+    ["", " lead", "trail ", 'quo"te', "<not<tag>", "a&amp;b", "中",
+     "line\nbreak", "x " * 10])
+_DTS = [None, "http://www.w3.org/2001/XMLSchema#integer",
+        "http://ex.org/custom", "http://www.w3.org/2001/XMLSchema#date"]
+
+
+@st.composite
+def small_graph(draw):
+    from rdf_rdfa_spark.rdfa.terms import bnode, iri, literal
+
+    n = draw(st.integers(1, 12))
+    triples = set()
+    for _ in range(n):
+        s = draw(st.sampled_from(_IRIS[:3])
+                 | st.builds(bnode, st.sampled_from(["x", "y", "z"])))
+        if isinstance(s, str):
+            s = iri(s)
+        p = iri(draw(st.sampled_from(_IRIS)))
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            o = iri(draw(st.sampled_from(_IRIS)))
+        elif kind == 1:
+            o = bnode(draw(st.sampled_from(["x", "y", "z"])))
+        elif kind == 2:
+            o = literal(draw(_LEX), draw(st.sampled_from([None, "en", "de"])))
+        else:
+            o = literal(draw(_LEX), None, draw(st.sampled_from(_DTS)))
+        triples.add((s, p, o))
+    return sorted(triples, key=repr)
+
+
+@settings(max_examples=150, deadline=None)
+@given(small_graph())
+def test_writer_roundtrip_fuzz(graph):
+    """Any small graph (hostile literals included) serializes to RDFa
+    that re-parses to an isomorphic graph."""
+    from rdf_rdfa_spark.rdfa.bgp import isomorphic
+    from rdf_rdfa_spark.writer import serialize_rdfa
+
+    html = serialize_rdfa(graph)
+    out, _, _ = parse_rdfa(html, url="http://fuzz.example/doc")
+    assert isomorphic(set(out), set(graph)), "\n%s\ngot:  %s\nwant: %s" % (
+        html, sorted(out, key=repr), sorted(graph, key=repr))
