@@ -197,6 +197,11 @@ class RdfaWalker:
             self.add_error(None, "invalid statement (%r %r %r)" % (subject, predicate, object_))
             return
         self.triples[(subject, predicate, object_)] = None
+        # reader.rb:572 — one Info processor row per emitted statement
+        # (opt-in; see class docstring)
+        if self.processor_info and "processor" in self.rdfagraph:
+            self.add_info(None, "statement: %r %r %r"
+                          % (subject, predicate, object_))
 
     def _processor_row(self, cls, message, element=None):
         n = self._fresh_bnode()
@@ -1008,6 +1013,15 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
         text = decode_html(html)
     else:
         text = html
+    # rdfagraph option normalization (reader.rb:311-318): 'all' → both;
+    # strings split on commas; anything not output/processor dropped;
+    # empty → [output]
+    if rdfagraph == "all":
+        rdfagraph = ("output", "processor")
+    elif isinstance(rdfagraph, str):
+        rdfagraph = tuple(p.strip() for p in rdfagraph.split(","))
+    rdfagraph = tuple(
+        g for g in rdfagraph if g in ("output", "processor")) or ("output",)
     # only html4/html5 get HTML5 tree construction (implied html/body);
     # xhtml1/xhtml5/xml/svg parse as XML — first element is the root
     # (nokogiri.rb:173-185 parser selection)
@@ -1023,4 +1037,7 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
         seen = list(dict.fromkeys(doc_errors))
         w.add_error(None, "\n".join(seen))
     w.parse(root, source_text=text)
-    return list(w.triples), list(w.processor), root
+    # graph routing (reader.rb:459-466): output statements are yielded
+    # only when the output graph was requested
+    out = list(w.triples) if "output" in rdfagraph else []
+    return out, list(w.processor), root

@@ -31,6 +31,46 @@ RDF_VALUE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#value"
 NEUTRAL = "http://spec.example/doc"
 
 
+# --- rdfagraph option normalization (reader_spec.rb:91-158) ----------
+# The reference emits per-statement Info rows into the processor graph
+# (we gate them behind processor_info=True — walk.py:30 deviation —
+# so the processor assertions here pass processor_info).
+
+_RG_SOURCE = """<!DOCTYPE html>
+  <html>
+    <span property="dc:title">Title</span>
+    <span property="undefined:curie">Undefined Curie</span>
+  </html>
+"""
+_DC_TITLE_T = iri("http://purl.org/dc/terms/title")
+
+
+def _rg_parse(rdfagraph):
+    out, proc, _ = parse_rdfa(_RG_SOURCE, url=NEUTRAL,
+                              rdfagraph=rdfagraph, processor_info=True)
+    return out, proc
+
+
+def _has_output(out):
+    return any(p == _DC_TITLE_T and o == literal("Title")
+               for (_s, p, o) in out)
+
+
+@pytest.mark.parametrize("rg,want_out,want_proc", [
+    (("output",), True, False),
+    (["output"], True, False),
+    ("foo", True, False),               # invalid → defaults to output
+    (("processor",), False, True),
+    (["output", "processor"], True, True),
+    ("output, processor", True, True),
+    ("all", True, True),
+])
+def test_rdfagraph_option_modes(rg, want_out, want_proc):
+    out, proc = _rg_parse(rg)
+    assert _has_output(out) == want_out, (rg, sorted(out))
+    assert bool(proc) == want_proc, (rg, proc[:3])
+
+
 # --- xml:base host-language matrix (reader_spec.rb:485-543) ----------
 
 _XMLBASE_USES = {"xml": True, "xhtml1": False, "html4": False,
