@@ -57,9 +57,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # materialize the token-hash array in its OWN projection so the
     # sig expression never re-tokenizes/re-hashes the text per
     # permutation (lambda-bound subexpressions are not CSE'd)
+    # pmod(h, PRIME) hoisted here: evaluated once per token instead of
+    # once per (token × permutation) in the inner loop below (the
+    # affine map gives identical residues either way)
     hashed = fan_out(df).select(
         F.col(id_col).alias("id"),
-        F.transform(tokens, lambda t: F.xxhash64(t)).alias("_h"),
+        F.transform(tokens, lambda t: F.pmod(
+            F.xxhash64(t), F.lit(_PRIME))).alias("_h"),
     )
     # the 64 permutations live in a LITERAL params array and are
     # evaluated by one nested-lambda expression (runtime loop), not 64
@@ -70,7 +74,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                    for a, b in params])
     sig = F.transform(pa, lambda p: F.array_min(
         F.transform(F.col("_h"), lambda h: F.pmod(
-            p["a"] * F.pmod(h, F.lit(_PRIME)) + p["b"], F.lit(_PRIME)))))
+            p["a"] * h + p["b"], F.lit(_PRIME)))))
     return hashed.select("id", sig.alias("sig"))
 
 
