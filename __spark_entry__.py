@@ -54,6 +54,20 @@ def q_rdfa_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(pages).select(*_TRIPLE_COLS)
 
 
+def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_rdfa_spark.pipeline import graphops
+
+    return graphops.degrees(q_rdfa_extract(spark, sf_dir))
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-point integer PageRank: bit-identical at any parallelism
+    # and exactly replayable in the SQL oracle (10 unrolled rounds)
+    from rdf_rdfa_spark.pipeline import graphops
+
+    return graphops.pagerank(q_rdfa_extract(spark, sf_dir), iters=10)
+
+
 def q_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed writer closure: extract → export RDFa pages
     (applyInPandas per url) → RE-extract → per-url triple counts.
@@ -355,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rdfa_extract": q_rdfa_extract,
         "writer_roundtrip": q_writer_roundtrip,
+        "kg_degrees": q_kg_degrees,
+        "kg_pagerank": q_kg_pagerank,
         "rdfa_pred_counts": q_rdfa_pred_counts,
         "rdfa_text_identity": q_rdfa_text_identity,
         "rdfa_processor_counts": q_rdfa_processor_counts,
@@ -827,6 +843,52 @@ SELECT doc_id AS id, 'text' AS modality,
 FROM documents
 """
 
+def _kg_degrees_sql(triples_sql: str) -> str:
+    return """
+WITH e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({t})
+           WHERE obj_kind = 'iri'),
+o AS (SELECT src AS node, COUNT(*) AS out_degree FROM e GROUP BY src),
+i AS (SELECT dst AS node, COUNT(*) AS in_degree FROM e GROUP BY dst)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree
+FROM o FULL JOIN i ON o.node = i.node
+""".format(t=triples_sql)
+
+
+def _kg_pagerank_sql(triples_sql: str, iters: int = 10) -> str:
+    """Integer fixed-point PageRank, the 10 rounds unrolled as chained
+    CTEs — DuckDB SUM(BIGINT) widens to HUGEINT, hence the outer CAST;
+    all arithmetic is exact so the Spark plan matches bit-for-bit."""
+    from rdf_rdfa_spark.pipeline.graphops import (
+        BASE, DAMP_DEN, DAMP_NUM, SCALE)
+
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append("""
+r{k} AS (
+  SELECT n.node,
+         CAST({base} + {dn} * COALESCE(SUM(c.contrib), 0) // {dd}
+              AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, r.pr // od.outdeg AS contrib
+    FROM e JOIN r{km1} r ON r.node = e.src
+           JOIN od ON od.src = e.src
+  ) c ON c.node = n.node
+  GROUP BY n.node
+)""".format(k=k, km1=k - 1, base=BASE, dn=DAMP_NUM, dd=DAMP_DEN))
+    return """
+WITH e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({t})
+           WHERE obj_kind = 'iri'),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes),
+{rounds}
+SELECT node, pr FROM r{iters}
+""".format(t=triples_sql, scale=SCALE, rounds=",".join(rounds),
+           iters=iters)
+
+
 # resize/frame-sample stubs are deterministic functions of the source
 # bytes, so the full mapInPandas fan-out is value-oracled in SQL;
 # strlen() = BYTE length in DuckDB (length() counts characters)
@@ -861,6 +923,8 @@ def oracle_sql() -> dict[str, str]:
     triples = corpus.triples_oracle_sql()
     return {
         "rdfa_extract": triples,
+        "kg_degrees": _kg_degrees_sql(triples),
+        "kg_pagerank": _kg_pagerank_sql(triples),
         "writer_roundtrip": (
             "SELECT url, COUNT(*) AS n_triples FROM (%s) GROUP BY url"
             % triples

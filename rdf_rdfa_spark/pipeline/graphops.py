@@ -1,0 +1,82 @@
+"""Graph analytics over the constructed KG: entity-graph degrees and
+PageRank.
+
+PageRank uses FIXED-POINT integer arithmetic throughout (ranks scaled
+by 2^20-ish SCALE, per-edge contribution = rank DIV outdegree, damping
+as (85 * sum) DIV 100): integer sums are associative, so the result is
+bit-identical regardless of partitioning/merge order — reproducible
+run-to-run at any cluster size and exactly replayable in the DuckDB
+oracle (floating-point PageRank is neither).  Dangling-node mass is
+dropped (the standard simplification), mirrored on both sides.
+
+Each iteration is one shuffle (groupBy dst) plus a broadcast-sized
+join with the out-degree table; lineage is truncated per round with
+localCheckpoint like the other iterative ops (link.py CC)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE = (SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN  # (1-d) * SCALE
+
+
+def entity_edges(triples: DataFrame) -> DataFrame:
+    """Distinct (src, dst) entity edges: subject → IRI object."""
+    return (
+        triples.filter(F.col("obj_kind") == "iri")
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+
+
+def degrees(triples: DataFrame) -> DataFrame:
+    """Per-node in/out degree over the distinct entity edge set."""
+    e = entity_edges(triples)
+    out = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_degree"))
+    inn = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_degree"))
+    return (
+        out.join(inn, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(triples: DataFrame, iters: int = 10) -> DataFrame:
+    """(node, pr) with pr an integer rank in SCALE units."""
+    e = entity_edges(triples).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("pr"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"),
+                    F.expr("pr DIV outdeg").alias("contrib"))
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum("contrib").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(BASE)
+                 + F.expr("%d * coalesce(s, 0) DIV %d"
+                          % (DAMP_NUM, DAMP_DEN))).cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

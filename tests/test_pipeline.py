@@ -384,6 +384,27 @@ def test_session_windows_streaming_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_pagerank_deterministic_and_sane(spark):
+    """Integer fixed-point PageRank: identical at different shuffle
+    parallelism (the whole point of the integer formulation) and the
+    hub of a star graph outranks its spokes."""
+    from rdf_rdfa_spark.pipeline.graphops import SCALE, pagerank
+
+    rows = [("u", "http://e/%d" % i, "http://e/p", "http://e/hub", "iri")
+            for i in range(8)]
+    rows.append(("u", "http://e/hub", "http://e/p", "http://e/0", "iri"))
+    triples = spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, "
+              "obj_kind string")
+    r1 = {r["node"]: r["pr"] for r in pagerank(triples, iters=5).collect()}
+    r2 = {r["node"]: r["pr"]
+          for r in pagerank(triples.repartition(7), iters=5).collect()}
+    assert r1 == r2
+    assert r1["http://e/hub"] > r1["http://e/1"]
+    # ranks stay in sane fixed-point range
+    assert all(0 < v < 10 * SCALE for v in r1.values())
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     from rdf_rdfa_spark.pipeline.skew import host_rollup
 
