@@ -75,7 +75,9 @@ def _signature(graph):
             sig[s[1]].append(("out", p, o if not o_b else ("bnode", "*")))
         if o_b:
             sig[o[1]].append(("in", p, s if not s_b else ("bnode", "*")))
-    return {b: tuple(sorted(ctx)) for b, ctx in sig.items()}
+    # key=repr: literal terms mix None and str in the same position,
+    # which plain tuple comparison cannot order
+    return {b: tuple(sorted(ctx, key=repr)) for b, ctx in sig.items()}
 
 
 def isomorphic(g1, g2) -> bool:
