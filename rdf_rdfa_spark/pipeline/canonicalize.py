@@ -137,7 +137,14 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     )
     a = toks.withColumnRenamed("jid", "a").withColumnRenamed("toks", "toks_a")
     b = toks.withColumnRenamed("jid", "b").withColumnRenamed("toks", "toks_b")
-    joined = pairs.join(a, "a").join(b, "b")
+    # pin shuffle-hash on the token side: size estimates for the token
+    # arrays come from the (tiny) parquet file stats, so the optimizer
+    # otherwise broadcasts the tokenized corpus — a driver-side build
+    # of every document's token array (measured 4s → 26-56s swings in
+    # the fused minhash job; unbounded at 100 TB). Shuffle-hash keeps
+    # the big side distributed no matter what the estimates say.
+    joined = (pairs.join(a.hint("shuffle_hash"), "a")
+              .join(b.hint("shuffle_hash"), "b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size(F.array_union("toks_a", "toks_b"))
     return (

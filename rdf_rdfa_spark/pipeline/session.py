@@ -39,7 +39,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # parquet scan parallelism at 100 TB: default 128 MB splits are
         # right; don't override files.maxPartitionBytes here
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver IS the executor — 32 task threads
+        # shuffling through one heap; 8g thrashes GC on the heavier
+        # queries (measured: minhash 4s→29s under heap pressure late
+        # in a multi-query session). The contract box has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()
