@@ -63,7 +63,15 @@ def test_filter_pushdown_reaches_scan(spark, entry):
     assert pushed, "vec_id < 8 not pushed into the parquet scan:\n" + plan
 
 
-def test_minhash_joins_are_broadcast_not_smj(spark, entry):
+def test_minhash_joins_are_hash_not_broadcast_corpus(spark, entry):
+    """The verify joins must be SHUFFLED hash joins: parquet stats
+    underestimate token-array columns, so without the hint the
+    optimizer broadcasts the tokenized corpus (driver-side build,
+    unbounded at scale)."""
     plan = _plan(spark, entry, "dedup_minhash")
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    # the token side must never be a broadcast build
+    assert "BroadcastHashJoin" not in plan or "toks" not in [
+        ln for ln in plan.splitlines() if "BroadcastExchange" in ln
+    ], plan
