@@ -58,7 +58,10 @@ def export_rdfa_pages(triples: DataFrame) -> DataFrame:
 
     cols = triples
     if "graph" in triples.columns:
-        cols = triples.filter(F.col("graph").isNull())  # output graph only
+        # output graph only — NULL from the extractor, 'output' from
+        # the materialized store (partition columns cannot be NULL)
+        cols = triples.filter(
+            F.col("graph").isNull() | (F.col("graph") == "output"))
     return (
         cols.select("url", "subj", "pred", "obj", "obj_kind", "lang",
                     "datatype")

@@ -40,6 +40,9 @@ def main():
                     help="apply vocabulary-expansion entailment to the store")
     ap.add_argument("--link", action="store_true",
                     help="rewrite subj/obj to canonical sameAs-cluster IRIs")
+    ap.add_argument("--export-pages", action="store_true",
+                    help="re-emit the (refined) store as RDFa pages "
+                         "(distributed writer, one doc per url)")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -78,6 +81,17 @@ def main():
         out2 = os.path.join(args.output, "triples_refined")
         triples.write.mode("overwrite").parquet(out2)
         manifest["refined"] = out2
+
+    if args.export_pages:
+        from rdf_rdfa_spark.pipeline.export import export_rdfa_pages
+
+        src = (materialize.read_triples(spark, args.output)
+               if not (args.expand or args.link)
+               else spark.read.parquet(os.path.join(args.output,
+                                                    "triples_refined")))
+        out3 = os.path.join(args.output, "pages_rdfa")
+        export_rdfa_pages(src).write.mode("overwrite").parquet(out3)
+        manifest["exported_pages"] = out3
 
     summary = materialize.lineage_summary(args.output)
     print(json.dumps({"manifest": manifest, "lineage": {
