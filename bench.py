@@ -132,14 +132,27 @@ def run_bench(sf_dir: str, cores: int, repeat: int = BENCH_REPEAT,
     timed("q9_session_windows",
           lambda: E.q_events_session_windows(spark, sf_dir).count())
 
+    # q10: distributed RDFa page export (writer as applyInPandas)
+    timed("q10_writer_export",
+          lambda: E.q_writer_roundtrip(spark, sf_dir).count())
+
+    # q11: fixed-point PageRank over the extracted entity graph
+    timed("q11_kg_pagerank",
+          lambda: E.q_kg_pagerank(spark, sf_dir).count())
+
     spark.stop()
     total = round(sum(timings.values()), 3)
+    # round-over-round comparable subtotal: the 8 queries benched
+    # since round 1 (q8-q11 were added in round 2)
+    core8 = round(sum(v for k, v in timings.items()
+                      if not k.startswith(("q8", "q9", "q10", "q11"))), 3)
     sf = re.search(r"sf([0-9.]+)", sf_dir)
     return {
         "metric": "e2e_bench_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "core8_sec": core8,
         "sf": float(sf.group(1).rstrip(".")) if sf else None,
         "cores": cores,
         **extras,
