@@ -209,8 +209,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # uncapped blocking buckets → exhaustive within-bucket recall, so
+    # the output is replayable in SQL; bench.py measures the capped
+    # (max_bucket=1024) production configuration
     return dedup.ngram_jaccard_pairs(
-        _dup_corpus(spark, sf_dir), n=3, threshold=0.8).select(
+        _dup_corpus(spark, sf_dir), n=3, threshold=0.8,
+        max_bucket=1 << 40).select(
         "a", "b",
         F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_bp"))
 
@@ -218,9 +222,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-based 60-bit token hash: bit-identical to the DuckDB oracle
     # (production default is the faster JVM xxhash64; same plan shape)
+    # uncapped block buckets (see q_dedup_minhash's note): the full
+    # O(n²)-hamming DuckDB oracle needs every in-bucket pair; bench.py
+    # measures the capped (max_bucket=256) production configuration
     return dedup.simhash_near_dups(
         _dup_corpus(spark, sf_dir), max_hamming=3,
-        hash_fn=dedup.md5_60bit, nbits=60)
+        hash_fn=dedup.md5_60bit, nbits=60, max_bucket=1 << 40)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,6 +13,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """min(24g, ~40% of MemTotal) so the local-mode JVM never outgrows
+    the host; override with SPARK_DRIVER_MEMORY."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return "%dg" % max(4, min(24, int(total_gib * 0.4)))
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "rdf-rdfa-spark",
     cores: int | None = None,
@@ -42,8 +56,10 @@ def get_spark(
         # local mode: the driver IS the executor — 32 task threads
         # shuffling through one heap; 8g thrashes GC on the heavier
         # queries (measured: minhash 4s→29s under heap pressure late
-        # in a multi-query session). The contract box has 128 GiB.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # in a multi-query session). The contract box has 128 GiB, but
+        # on smaller dev/CI hosts a fixed 24g can exceed physical RAM,
+        # so the default is min(24g, ~40% of MemTotal), floor 4g.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()

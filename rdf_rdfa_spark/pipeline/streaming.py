@@ -80,10 +80,17 @@ def _emit_first_occurrence(key, pdf_iter, state: GroupState):
     n = 0
     first_id = None
     for pdf in pdf_iter:
+        if len(pdf) == 0:
+            # applyInPandasWithState may deliver empty chunks (e.g.
+            # timeout-driven invocations); min() would be NaN there.
+            continue
         n += len(pdf)
         batch_min = pdf["doc_id"].min()
         if first_id is None or batch_min < first_id:
             first_id = int(batch_min)
+    if n == 0:
+        # Nothing arrived for this key in this trigger — leave state as-is.
+        return iter(())
     if state.exists:
         (seen,) = state.get
         state.update((seen + n,))

@@ -94,28 +94,45 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3,
-                      hash_fn=None, nbits: int = 64) -> DataFrame:
+                      hash_fn=None, nbits: int = 64,
+                      max_bucket: int = 256) -> DataFrame:
     """Candidate pairs whose SimHash Hamming distance ≤ k, using the
     4-block trick: two signatures within Hamming 3 share at least one
-    identical 16-bit block → groupBy block value, join within buckets.
-    Exact for max_hamming ≤ 3 (pigeonhole over the 4 blocks)."""
-    sh = simhash(docs, text_col, id_col, hash_fn, nbits).cache()
+    identical 16-bit block → group by block value, pair within buckets.
+    Exact for max_hamming ≤ 3 (pigeonhole over the 4 blocks).
+
+    Plan shape: ONE groupBy shuffle (block value → sorted id list) and
+    an in-bucket pair expansion — no self-join.  ``max_bucket`` is the
+    skew guard: on a boilerplate-heavy crawl one hot block value (e.g.
+    near-empty template pages sharing a signature block) would make the
+    within-bucket expansion quadratic in a single reducer, so oversized
+    buckets are dropped (same posture as lsh_candidate_pairs in
+    canonicalize.py).  Raise it (or pass 1 << 40) for exhaustive recall
+    on bounded corpora — the value-oracled entry query does."""
+    sh = simhash(docs, text_col, id_col, hash_fn, nbits)
     blocks = sh.select(
-        "id", "simhash",
+        F.struct("id", "simhash").alias("item"),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("blk"),
                      F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
             for b in range(4)
         ])).alias("e"),
-    ).select("id", "simhash", "e.blk", "e.val")
-    left = blocks.select(F.col("id").alias("a"), F.col("simhash").alias("ha"),
-                         "blk", "val")
-    right = blocks.select(F.col("id").alias("b"), F.col("simhash").alias("hb"),
-                          "blk", "val")
+    ).select("item", "e.blk", "e.val")
+    buckets = (
+        blocks.groupBy("blk", "val")
+        # sort_array on struct(id, simhash) orders by id → pairs below
+        # come out with a < b by construction
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+        .filter((F.size("items") > 1) & (F.size("items") <= max_bucket))
+    )
     cand = (
-        left.join(right, ["blk", "val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
+        buckets.select(F.explode(F.expr(
+            "flatten(transform(items, (x, i) -> "
+            "transform(slice(items, i + 2, size(items)), "
+            "y -> struct(x.id as a, y.id as b, "
+            "x.simhash as ha, y.simhash as hb))))"
+        )).alias("p"))
+        .select("p.a", "p.b", "p.ha", "p.hb")
         .distinct()
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
@@ -145,11 +162,21 @@ def ngram_sets(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         text_col: str = "text", id_col: str = "doc_id",
-                        bucket_col=None) -> DataFrame:
+                        bucket_col=None,
+                        max_bucket: int = 1024) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs. To avoid the O(n²) cross
     join at scale, pairs are generated within cheap blocking buckets
     (default: language + length decile) — the standard blocking
-    strategy; recall loss only across buckets."""
+    strategy; recall loss only across buckets.
+
+    ``max_bucket`` bounds the within-bucket self-join: at crawl scale
+    "English, ~2k chars" is a single bucket of millions of docs, which
+    would put O(|bucket|²) pair generation on one key.  Buckets larger
+    than the cap are dropped (the bucket-count side of the guard join
+    is tiny — one row per distinct bucket — and broadcasts).  For
+    recall over huge buckets, generate candidates with the MinHash LSH
+    path (minhash_near_dup_pairs) and keep n-gram Jaccard as the verify
+    metric; pass 1 << 40 for exhaustive small-corpus oracles."""
     g = ngram_sets(docs, n, text_col, id_col)
     if bucket_col is None:
         bucket = F.concat_ws("|", F.col("lang"),
@@ -159,6 +186,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     g = g.join(docs.select(F.col(id_col).alias("id"), bucket.alias("bucket")), "id")
     # a doc with no n-grams has no defined Jaccard against anything
     g = g.filter(F.size("grams") > 0)
+    # skew guard: drop buckets whose membership exceeds the cap before
+    # the self-join ever sees them (count side = one row per bucket)
+    ok = (g.groupBy("bucket").agg(F.count("*").alias("n_b"))
+           .filter(F.col("n_b") <= max_bucket)
+           .select("bucket"))
+    g = g.join(F.broadcast(ok), "bucket")
     a = g.select(F.col("id").alias("a"), F.col("grams").alias("ga"), "bucket")
     b = g.select(F.col("id").alias("b"), F.col("grams").alias("gb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))

@@ -157,6 +157,33 @@ def test_simhash_hamming(spark):
     assert (0, 2) not in pairs
 
 
+def test_simhash_bucket_cap_bounds_boilerplate(spark):
+    # boilerplate-heavy corpus: 40 identical template pages share every
+    # signature block → one hot bucket.  The skew cap drops it (no
+    # quadratic reducer); uncapped finds all C(40,2)+1 pairs.
+    tmpl = " ".join("word%02d" % i for i in range(30))
+    rows = [(i, tmpl) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.simhash_near_dups(docs, max_hamming=8, max_bucket=8)
+    uncapped = dedup.simhash_near_dups(docs, max_hamming=8, max_bucket=1 << 40)
+    assert capped.count() == 0          # hot bucket (40 > 8) dropped entirely
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_ngram_bucket_cap_bounds_skewed_corpus(spark):
+    # single-bucket skew: every doc is same lang + same length decile.
+    # With the cap below the bucket size the self-join sees zero rows.
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(i, base + "tail%d" % i, "en", len(base)) for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_bucket=8)
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                         max_bucket=1 << 40)
+    assert capped.count() == 0
+    assert uncapped.count() == 30 * 29 // 2
+
+
 def test_cosine_topk_matches_numpy(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     pdf = emb.toPandas()
