@@ -203,6 +203,28 @@ def c14n_children(element: Element, language, namespaces: dict) -> str:
     return "".join(out)
 
 
+def c14n_fragment(lex: str, language=None, namespaces: dict | None = None) -> str:
+    """Write-side XMLLiteral canonicalization: run a lexical form
+    through the SAME parse → namespace/xml:lang merge → serialize
+    pipeline the reader applies at extraction time (c14n_children), so
+    write→read is a fixed point — a literal the writer emits re-extracts
+    byte-identical.  Literals not already in this form (hand-built
+    graphs, Turtle/JSON-LD imports) are normalized once on first write;
+    extraction output passes through unchanged."""
+    if namespaces is None:
+        namespaces = {None: "http://www.w3.org/1999/xhtml"}
+    tb = _TreeBuilder()
+    # custom wrapper element: no implied-close rules apply, so the
+    # fragment's own nesting is preserved exactly as the reader's HTML
+    # parse of the written page will see it
+    _fast_feed(tb, "<c14n-root>" + lex + "</c14n-root>")
+    root = next((n for n in tb.root_children
+                 if isinstance(n, Element) and n.name == "c14n-root"), None)
+    if root is None:
+        return lex
+    return c14n_children(root, language, namespaces)
+
+
 _EOF_CONSTRUCTS = (
     ("<!--", "-->", "-->"),
     ("<![cdata[", "]]>", "]]>"),

@@ -29,6 +29,7 @@ import re
 from collections import defaultdict
 
 from .rdfa.contexts import RDFA_CORE_PREFIXES
+from .rdfa.dom import c14n_fragment
 from .rdfa.terms import RDF_TYPE
 
 _ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
@@ -259,6 +260,7 @@ class RdfaHtmlWriter:
             self.uri_to_prefix[str(ns)] = str(pfx)
         self.uri_to_term_or_curie = {iri: term
                                      for term, iri in ctx_terms.items()}
+        self.resource_curies: dict[str, str] = {}
         self.vocabulary = vocab
         self.used_prefixes: dict[str, str] = {}
         # graph state
@@ -267,30 +269,57 @@ class RdfaHtmlWriter:
         self.serialized: set = set()
 
     # --- curie / value helpers ----------------------------------------
-    def get_curie(self, term) -> str | None:
+    def get_curie(self, term, position: str = "predicate") -> str | None:
+        """IRI → the shortest spelling valid at ``position``.
+
+        ``predicate`` (@property/@typeof/@rel/@datatype) may use bare
+        TERMs from the initial context and vocab-relative names;
+        ``resource`` (@about/@resource) may NOT — readers only
+        recognize terms in predicate positions, so a bare term there
+        re-parses as a relative IRI and yields a wrong subject.  (The
+        reference writer.rb:669 is position-unaware and shares that
+        flaw; we diverge for round-trip fidelity.)  Base-relative
+        spellings are conversely only valid in resource position."""
         if term[0] == "bnode":
             return "_:" + term[1]
         if term[0] != "iri":
             return None
         uri = term[1]
+        if position == "resource":
+            return self._resource_curie(uri)
         hit = self.uri_to_term_or_curie.get(uri)
         if hit is not None:
             return hit
-        if self.base_uri and uri.startswith(self.base_uri):
-            curie = uri[len(self.base_uri):]
-        elif self.vocabulary and uri.startswith(self.vocabulary):
+        if self.vocabulary and uri.startswith(self.vocabulary):
             curie = uri[len(self.vocabulary):]
         else:
-            ns = max((n for n in self.uri_to_prefix if uri.startswith(n)),
-                     key=len, default=None)
-            if ns:
-                pfx = self.uri_to_prefix[ns]
-                self.used_prefixes[pfx] = ns
-                curie = "%s:%s" % (pfx, uri[len(ns):])
-            else:
-                curie = uri
+            curie = self._prefixed_or_absolute(uri)
         self.uri_to_term_or_curie[uri] = curie
         return curie
+
+    def _resource_curie(self, uri: str) -> str:
+        hit = self.resource_curies.get(uri)
+        if hit is not None:
+            return hit
+        if self.base_uri and uri.startswith(self.base_uri):
+            rel = uri[len(self.base_uri):]
+            # a ':' in the relative part would CURIE/scheme-parse on
+            # re-extraction — only emit colon-free relative IRIs
+            if ":" not in rel:
+                self.resource_curies[uri] = rel
+                return rel
+        curie = self._prefixed_or_absolute(uri)
+        self.resource_curies[uri] = curie
+        return curie
+
+    def _prefixed_or_absolute(self, uri: str) -> str:
+        ns = max((n for n in self.uri_to_prefix if uri.startswith(n)),
+                 key=len, default=None)
+        if ns:
+            pfx = self.uri_to_prefix[ns]
+            self.used_prefixes[pfx] = ns
+            return "%s:%s" % (pfx, uri[len(ns):])
+        return uri
 
     @staticmethod
     def _value(term) -> str:
@@ -365,6 +394,12 @@ class RdfaHtmlWriter:
         while node != iri_t(_RDF_NIL):
             if node[0] != "bnode" or hops > 10000:
                 return None
+            # interior cells referenced from OUTSIDE the spine can't be
+            # folded: @inlist mints fresh bnodes on re-extraction, so
+            # the external reference would dangle (head's own single
+            # incoming reference is checked by _predicate)
+            if node != head and self._ref_count(node) != 1:
+                return None
             pv = self.props.get(node)
             if (pv is None or set(pv) != {_RDF_FIRST, _RDF_REST}
                     or len(pv[_RDF_FIRST]) != 1 or len(pv[_RDF_REST]) != 1):
@@ -427,13 +462,13 @@ class RdfaHtmlWriter:
         if s[0] == "bnode":
             curie = ("_:" + s[1]) if self._ref_count(s) > 1 else None
         else:
-            curie = self.get_curie(s)
+            curie = self.get_curie(s, position="resource")
         typeof = " ".join(self.get_curie(t) for t in types
                           if t[0] != "literal") or None
         if curie is None and typeof is None:
             typeof = ""
-        about = self.get_curie(s) if rel is None else None
-        resource = self.get_curie(s) if rel is not None else None
+        about = self.get_curie(s, position="resource") if rel is None else None
+        resource = self.get_curie(s, position="resource") if rel is not None else None
         attrs = ""
         if rel is not None:
             attrs += ' rel="%s"' % _esc(rel)
@@ -455,18 +490,30 @@ class RdfaHtmlWriter:
 
     def _predicate(self, pred: str, objects: list) -> str:
         # split off rdf:List heads (render_property, writer.rb:308-363)
-        lists = {}
+        lists = []
         plain = []
         for o in objects:
             items = self._list_items(o)
             if items is None:
                 plain.append(o)
             else:
-                lists[id(o)] = (o, items)
+                lists.append((o, items))
+        # @inlist folding is only round-trip safe when this predicate
+        # has exactly ONE list whose head is referenced exactly once:
+        # readers merge every @inlist value per (subject, predicate)
+        # into a single list, so two folded lists would collapse into
+        # one; a head shared by two predicates/subjects would have its
+        # spine minted twice.  Unsafe shapes fall back to the plain
+        # nested-bnode spine rendering (same fallback _list_items uses
+        # for impure lists), so no triple is lost.  (The reference
+        # writer.rb folds unconditionally; we diverge for fidelity.)
+        if lists and (len(lists) > 1 or self._ref_count(lists[0][0]) != 1):
+            plain.extend(h for h, _ in lists)
+            lists = []
         out = []
         if plain:
             out.append(self._render_values(pred, plain, inlist=None))
-        for (head, items) in lists.values():
+        for (head, items) in lists:
             # mark the list spine as serialized
             node = head
             while node != iri_t(_RDF_NIL) and node[0] == "bnode":
@@ -489,8 +536,13 @@ class RdfaHtmlWriter:
                 element, _esc(pred_curie), _esc(c), il, _esc(c), element)
         # literal
         if o[3] == RDF_XMLLITERAL:
+            # canonicalize at write time (inject in-scope xmlns +
+            # xml:lang exactly as the reader's c14n_children will on
+            # re-extraction) so write→read is a fixed point even for
+            # literals from non-RDFa sources
+            lex = c14n_fragment(o[1], language=self.lang)
             return '<%s property="%s" datatype="%s"%s>%s</%s>' % (
-                element, _esc(pred_curie), "rdf:XMLLiteral", il, o[1],
+                element, _esc(pred_curie), "rdf:XMLLiteral", il, lex,
                 element)
         bits = ['property="%s"' % _esc(pred_curie)]
         content = self._content(o)

@@ -187,9 +187,13 @@ def test_xml_literal():
     check(html, {
         "//span[@property]/@property": "ex:b",
         "//span[@property]/@datatype": "rdf:XMLLiteral",
+        # the reference emits the raw lexical here (writer_spec.rb);
+        # we canonicalize at write time (inject in-scope xmlns) so the
+        # written literal re-extracts byte-identically — divergence
+        # documented on RdfaHtmlWriter._leaf
         "//span[@property]": re.compile(
-            r"<span [^>]+>E = mc<sup>2</sup>: The Most Urgent Problem "
-            r"of Our Time</span>"),
+            r'<span [^>]+>E = mc<sup xmlns="http://www\.w3\.org/1999/xhtml">'
+            r"2</sup>: The Most Urgent Problem of Our Time</span>"),
     })
 
 
@@ -350,8 +354,7 @@ _EXAMPLES = "/root/reference/example-files"
 def test_real_page_writer_roundtrip(fname):
     raw = open(_os.path.join(_EXAMPLES, fname), "rb").read()
     g, _, _ = parse_rdfa(raw, url="http://example.com/" + fname)
-    if not g:
-        pytest.skip("no triples in %s" % fname)
+    # pages with no RDFa (eRDF etc.) round-trip to an empty page
     html = serialize_rdfa(g)
     g2, _, _ = parse_rdfa(html, url="http://example.com/" + fname)
     assert isomorphic(set(g2), set(g)), \
@@ -375,3 +378,99 @@ def test_writer_roundtrip_through_reader():
     out, _, _ = parse_rdfa(html, url="http://writer.example/doc")
     assert isomorphic(set(out), set(g)), "\n%s\ngot:  %s\nwant: %s" % (
         html, sorted(out), sorted(g))
+
+
+def _roundtrip(g, **kw):
+    kw.setdefault("prefixes", PREFIXES)
+    html = serialize_rdfa(list(g), **kw)
+    out, _, _ = parse_rdfa(html, url="http://writer.example/doc")
+    assert isomorphic(set(out), set(g)), "\n%s\ngot:  %s\nwant: %s" % (
+        html, sorted(out, key=repr), sorted(g, key=repr))
+    return html
+
+
+def _rdf_list(tag, items):
+    """Build an rdf:List spine; returns (head, triples)."""
+    first, rest = iri(RDF_NS + "first"), iri(RDF_NS + "rest")
+    nil = iri(RDF_NS + "nil")
+    cells = [bnode("%s%d" % (tag, i)) for i in range(len(items))]
+    trips = []
+    for i, it in enumerate(items):
+        trips.append((cells[i], first, it))
+        trips.append((cells[i], rest, cells[i + 1] if i + 1 < len(items) else nil))
+    return cells[0], trips
+
+
+# --- rdf:List folding round-trip safety (two lists under one predicate
+# merge under @inlist; a shared head would mint its spine twice) -------------
+def test_two_lists_same_predicate_roundtrip():
+    h1, t1 = _rdf_list("a", [literal("x"), literal("y")])
+    h2, t2 = _rdf_list("b", [literal("p"), literal("q")])
+    g = t1 + t2 + [
+        (iri(EX + "s"), iri(EX + "val"), h1),
+        (iri(EX + "s"), iri(EX + "val"), h2),
+    ]
+    # (interior rdf:rest tail-folds remain — those re-extract to an
+    # equivalent chain, which the isomorphism check inside verifies)
+    _roundtrip(g)
+
+
+def test_shared_list_head_roundtrip():
+    head, spine = _rdf_list("c", [literal("x"), literal("y")])
+    g = spine + [
+        (iri(EX + "s"), iri(EX + "v1"), head),
+        (iri(EX + "s"), iri(EX + "v2"), head),
+    ]
+    _roundtrip(g)
+
+
+def test_externally_referenced_spine_cell_roundtrip():
+    # an outside triple points INTO the spine → folding would dangle it
+    head, spine = _rdf_list("d", [literal("x"), literal("y")])
+    cell2 = spine[2][0]  # second cell (subject of its rdf:first triple)
+    g = spine + [
+        (iri(EX + "s"), iri(EX + "val"), head),
+        (iri(EX + "z"), iri(EX + "points"), cell2),
+    ]
+    _roundtrip(g)
+
+
+def test_single_private_list_still_folds():
+    head, spine = _rdf_list("e", [literal("x"), literal("y")])
+    g = spine + [(iri(EX + "s"), iri(EX + "val"), head)]
+    html = _roundtrip(g)
+    assert "inlist" in html  # the safe shape keeps the compact fold
+
+
+# --- XMLLiteral write-time canonicalization (write→read fixed point) -------
+def test_xmlliteral_non_canonical_input_fixed_point():
+    g = [(iri(EX + "a"), iri(DC + "title"),
+          literal("E = mc<sup>2</sup>", None, RDF_NS + "XMLLiteral"))]
+    html = serialize_rdfa(g, prefixes=PREFIXES)
+    out, _, _ = parse_rdfa(html, url="http://writer.example/doc")
+    assert len(out) == 1
+    lex = list(out)[0][2][1]
+    assert lex == 'E = mc<sup xmlns="http://www.w3.org/1999/xhtml">2</sup>'
+    # the canonicalized graph now round-trips byte-identically
+    _roundtrip(list(out))
+
+
+def test_xmlliteral_canonical_input_unchanged():
+    lex = 'E = mc<sup xmlns="http://www.w3.org/1999/xhtml">2</sup>'
+    g = [(iri(EX + "a"), iri(DC + "title"),
+          literal(lex, None, RDF_NS + "XMLLiteral"))]
+    _roundtrip(g)
+
+
+# --- position-aware CURIEs: a term-map IRI in subject position --------------
+def test_term_iri_as_subject_roundtrip():
+    # xhv:license is a TERM in the RDFa initial context; as a subject
+    # it must be emitted as a CURIE/IRI, never the bare term (which
+    # readers would parse as a relative IRI)
+    lic = "http://www.w3.org/1999/xhtml/vocab#license"
+    g = [
+        (iri(lic), iri(DC + "title"), literal("the license")),
+        (iri(EX + "a"), iri(lic), iri(EX + "l")),  # also as predicate: term OK
+    ]
+    html = _roundtrip(g)
+    assert 'resource="license"' not in html and 'about="license"' not in html
