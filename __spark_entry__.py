@@ -196,14 +196,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # uncapped buckets → exhaustive recall (P(miss) ~ 4e-8 per pair at
-    # b=16/r=4, threshold 0.9), so the output equals the exact-Jaccard
-    # pair set and is value-oracled against DuckDB. The production
-    # skew-guarded configuration (max_bucket=64) is what bench.py
-    # measures at sf0.1.
+    # bands=16 (r=4) + uncapped buckets → exhaustive recall (P(miss)
+    # ~ 4e-8 per pair at threshold 0.9), so the output equals the
+    # exact-Jaccard pair set and is value-oracled against DuckDB. The
+    # production configuration (auto bands=8/r=8, max_bucket=64) is
+    # what bench.py measures at sf0.1.
     corpus_df = _dup_corpus(spark, sf_dir)
     return dedup.minhash_near_dup_pairs(
-        corpus_df, threshold=0.9, max_bucket=1 << 40).select(
+        corpus_df, threshold=0.9, bands=16, max_bucket=1 << 40).select(
         "a", "b", F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_bp")
     )
 
@@ -236,7 +236,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against a DuckDB recursive CTE
     corpus_df = _dup_corpus(spark, sf_dir)
     verified = dedup.minhash_near_dup_pairs(corpus_df, threshold=0.9,
-                                            max_bucket=1 << 40)
+                                            bands=16, max_bucket=1 << 40)
     return dedup.canonical_clusters(verified).select(
         F.col("id").cast("long").alias("id"),
         F.col("canonical").cast("long").alias("canonical"),

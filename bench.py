@@ -39,13 +39,36 @@ def run_bench(sf_dir: str, cores: int, repeat: int = BENCH_REPEAT,
 
     spark = get_spark(app_name="bench-c%d" % cores, cores=cores)
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
+    # recorded host-health calibration: identical pure-Python work on 1
+    # and 8 processes. wall_sec[8] ≈ wall_sec[1] on a healthy host;
+    # 2x+ means hypervisor steal is contaminating the numbers (the
+    # round-2 q3=20s vs healthy 5.7s adjudication) — readers should
+    # discount the timings accordingly.
+    cal = calibrate_cpu(procs_list=(1, 8))
+    extras["calibration"] = {
+        "wall_sec": cal["wall_sec"],
+        "healthy": cal["wall_sec"][8] < 1.6 * cal["wall_sec"][1],
+    }
+
+    def _isolate():
+        # keep late queries out of earlier queries' GC shadow: drop
+        # cached blocks AND leftover localCheckpoint RDD blocks (the
+        # catalog cache doesn't cover those), then force a full GC
+        try:
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(True)
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     def timed(key, fn, runs=2):
         """Best-of-N: the sandbox host has noisy neighbors (load avg
         spikes with nothing running in the VM), and run 1 includes
         Janino codegen for the plan. Min over two runs reports the
         engine's cost, not the hypervisor's mood."""
+        _isolate()
         best = None
         for _ in range(runs):
             t0 = time.time()
@@ -140,7 +163,18 @@ def run_bench(sf_dir: str, cores: int, repeat: int = BENCH_REPEAT,
     timed("q11_kg_pagerank",
           lambda: E.q_kg_pagerank(spark, sf_dir).count())
 
+    # --- sf1 scale evidence: the heavy queries once each at 10× the
+    # input (deterministically amplified; near-dup structure scales
+    # linearly by construction — see corpus.materialize_scaled_sf).
+    # Ratios ≈ 10 ⇒ the plans are linear in input size; recorded so
+    # every BENCH_r{N}.json carries its own scale-up check.
     spark.stop()
+    if (os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+            and re.search(r"sf0\.1/?$", sf_dir)):
+        try:
+            extras["sf1"] = _sf1_subprocess(sf_dir, timings)
+        except Exception as e:  # never break the contract line
+            extras["sf1"] = {"error": "%s: %s" % (type(e).__name__, str(e)[:200])}
     total = round(sum(timings.values()), 3)
     # round-over-round comparable subtotal: the 8 queries benched
     # since round 1 (q8-q11 were added in round 2)
@@ -157,6 +191,80 @@ def run_bench(sf_dir: str, cores: int, repeat: int = BENCH_REPEAT,
         "cores": cores,
         **extras,
     }
+
+
+def _sf1_subprocess(sf_dir: str, sf01_timings: dict) -> dict:
+    """Run the sf1 section in a FRESH JVM (subprocess): leftover
+    localCheckpoint blocks and shuffle state from the 11 sf0.1 query
+    groups otherwise contaminate the sf1 timings (measured 23s → 118s
+    on the minhash query in a late-session JVM)."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--sf1-only",
+         "--sf-dir", sf_dir],
+        capture_output=True, text=True, timeout=900,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    sec = json.loads(line)
+    sec["ratio_vs_sf0.1"] = {
+        k: round(v / sf01_timings[k], 2)
+        for k, v in sec.get("queries", {}).items() if sf01_timings.get(k)
+    }
+    return sec
+
+
+def run_sf1(sf_dir: str, budget_sec: float | None = None) -> dict:
+    """Scale evidence: the scale-sensitive queries ONCE each on a
+    10×-amplified copy of sf0.1 (≡ sf1). Ratios vs sf0.1 ≈ 10 ⇒ the
+    plans are linear in input size (most are sublinear here because
+    32 cores are under-utilized at sf0.1). A soft wall-clock budget
+    truncates the sweep rather than risking the driver's timeout."""
+    from rdf_rdfa_spark import corpus
+    from rdf_rdfa_spark.pipeline.extract import extract_triples
+    from rdf_rdfa_spark.pipeline.session import get_spark
+    from rdf_rdfa_spark.textops import dedup as _dedup
+    import __spark_entry__ as E
+
+    budget = budget_sec or float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420"))
+    spark = get_spark(app_name="bench-sf1")
+    sf1_dir = corpus.materialize_scaled_sf(
+        spark, sf_dir, "/tmp/spark_graft_sf1", mult=10)
+    # warmup: JVM/codegen + python-worker forks out of the timed region
+    spark.range(10 ** 7).selectExpr("sum(id)").collect()
+    t_start = time.time()
+    out: dict = {"sf": 1.0, "dir": sf1_dir, "mult": 10}
+    q: dict[str, float] = {}
+
+    pages = corpus.pages_df(spark, sf1_dir, repeat=BENCH_REPEAT)
+    jobs = [
+        ("q1_rdfa_extract", lambda: extract_triples(pages).count()),
+        ("q3_dedup_minhash", lambda: _dedup.minhash_near_dup_pairs(
+            E._dup_corpus(spark, sf1_dir), threshold=0.9).count()),
+        ("q5_entity_link", lambda: E.q_entity_link_sameas(spark, sf1_dir).count()),
+        ("q8_dedup_simhash", lambda: _dedup.simhash_near_dups(
+            E._dup_corpus(spark, sf1_dir), max_hamming=3).count()),
+        ("q9_session_windows",
+         lambda: E.q_events_session_windows(spark, sf1_dir).count()),
+        ("q11_kg_pagerank", lambda: E.q_kg_pagerank(spark, sf1_dir).count()),
+    ]
+    for key, fn in jobs:
+        if time.time() - t_start > budget:
+            out["truncated_at"] = key
+            break
+        # best-of-2 (same methodology as the sf0.1 sweep) unless the
+        # budget only allows a single run
+        best = None
+        for attempt in range(2):
+            t0 = time.time()
+            n = fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+            if time.time() - t_start > budget * 0.75:
+                break
+        q[key] = round(best, 3)
+        out.setdefault("rows", {})[key] = n
+    out["queries"] = q
+    spark.stop()
+    return out
 
 
 def _burn(n):
@@ -278,9 +386,12 @@ def main():
     ap.add_argument("--repeat", type=int, default=BENCH_REPEAT)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--q1-only", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--sf1-only", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
+    elif args.sf1_only:
+        print(json.dumps(run_sf1(args.sf_dir)))
     else:
         print(json.dumps(run_bench(args.sf_dir, args.cores, args.repeat,
                                    q1_only=args.q1_only)))
