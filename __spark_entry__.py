@@ -872,12 +872,20 @@ def _kg_pagerank_sql(triples_sql: str, iters: int = 10) -> str:
 
     rounds = []
     for k in range(1, iters + 1):
+        # d{k}: dangling mass of round k-1 (nodes with no out-edges);
+        # every node receives dang // n_nodes before damping — the
+        # integer teleport, spelled exactly like graphops.pagerank
         rounds.append("""
-r{k} AS (
+d{k} AS MATERIALIZED (SELECT COALESCE(SUM(pr), 0) AS dang FROM r{km1} r
+         WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = r.node)),
+r{k} AS MATERIALIZED (
   SELECT n.node,
-         CAST({base} + {dn} * COALESCE(SUM(c.contrib), 0) // {dd}
+         CAST({base} + {dn} * (COALESCE(SUM(c.contrib), 0)
+                               + ANY_VALUE(x.dang) // ANY_VALUE(x.n)) // {dd}
               AS BIGINT) AS pr
-  FROM nodes n LEFT JOIN (
+  FROM nodes n
+  CROSS JOIN (SELECT d.dang AS dang, nn.n AS n FROM d{k} d, nn) x
+  LEFT JOIN (
     SELECT e.dst AS node, r.pr // od.outdeg AS contrib
     FROM e JOIN r{km1} r ON r.node = e.src
            JOIN od ON od.src = e.src
@@ -885,11 +893,12 @@ r{k} AS (
   GROUP BY n.node
 )""".format(k=k, km1=k - 1, base=BASE, dn=DAMP_NUM, dd=DAMP_DEN))
     return """
-WITH e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({t})
+WITH e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM ({t})
            WHERE obj_kind = 'iri'),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-r0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+od AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes),
 {rounds}
 SELECT node, pr FROM r{iters}
 """.format(t=triples_sql, scale=SCALE, rounds=",".join(rounds),

@@ -7,7 +7,8 @@ as (85 * sum) DIV 100): integer sums are associative, so the result is
 bit-identical regardless of partitioning/merge order — reproducible
 run-to-run at any cluster size and exactly replayable in the DuckDB
 oracle (floating-point PageRank is neither).  Dangling-node mass is
-dropped (the standard simplification), mirrored on both sides.
+redistributed uniformly each round (integer teleport), mirrored on
+both sides.
 
 Each iteration is one shuffle (groupBy dst) plus a broadcast-sized
 join with the out-degree table; lineage is truncated per round with
@@ -49,7 +50,17 @@ def degrees(triples: DataFrame) -> DataFrame:
 
 
 def pagerank(triples: DataFrame, iters: int = 10) -> DataFrame:
-    """(node, pr) with pr an integer rank in SCALE units."""
+    """(node, pr) with pr an integer rank in SCALE units.
+
+    Dangling-node mass is redistributed uniformly each round (the
+    standard teleport treatment): dang = Σ pr over nodes with no
+    out-edges, and every node receives ``dang DIV n_nodes`` before
+    damping — all in integer arithmetic, so the result stays
+    bit-identical at any partitioning and exactly replayable in the
+    unrolled DuckDB oracle.  Iteration count is FIXED (no convergence
+    test): a convergence stop would make the output depend on a
+    float tolerance and break oracle replay; 10 rounds is the
+    documented contract (COVERAGE.md)."""
     e = entity_edges(triples).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -57,6 +68,7 @@ def pagerank(triples: DataFrame, iters: int = 10) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    n_nodes = nodes.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("pr"))
     for _ in range(iters):
@@ -68,13 +80,19 @@ def pagerank(triples: DataFrame, iters: int = 10) -> DataFrame:
         )
         summed = contribs.groupBy("node").agg(
             F.sum("contrib").alias("s"))
+        # dangling mass: one scalar row, broadcast — no driver action
+        dang = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dang"))
+        )
         ranks = (
             nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (F.lit(BASE)
-                 + F.expr("%d * coalesce(s, 0) DIV %d"
-                          % (DAMP_NUM, DAMP_DEN))).cast("long")
+                 + F.expr("%d * (coalesce(s, 0) + dang DIV %d) DIV %d"
+                          % (DAMP_NUM, n_nodes, DAMP_DEN))).cast("long")
                 .alias("pr"),
             )
             .localCheckpoint()

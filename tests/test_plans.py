@@ -21,7 +21,35 @@ SF = "/root/testdata/sf0.001"
 # documented brute-force oracle-only paths where a broadcast
 # nested-loop cross join is the intended plan
 _BNLJ_OK = {"ann_cosine_topk", "emb_near_dup", "ann_ivf_topk",
-            "ann_lsh_topk"}
+            "ann_lsh_topk",
+            # the A-box predicate is a literal constant, so Catalyst
+            # constant-folds it out of the equi-join against the tiny
+            # broadcast T-box closure — BNLJ with a pushed condition
+            # is the resulting (and fine) physical shape
+            "entail_props"}
+
+# queries whose page-synthesis step genuinely consumes every
+# documents.parquet column (HTML_EXPR references all five)
+_FULL_DOC_OK = {"rdfa_extract", "writer_roundtrip", "kg_degrees",
+                "kg_pagerank", "rdfa_pred_counts", "rdfa_text_identity",
+                "rdfa_processor_counts", "host_rollup", "entity_link_sameas",
+                "dedup_clusters"}
+
+_DOC_FULL = {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+def _all_query_names():
+    import __spark_entry__ as E
+    return sorted(E.queries())
+
+
+def _scans(plan: str):
+    import re as _re
+    for ln in plan.splitlines():
+        m = _re.search(r"FileScan parquet \[([^\]]*)\].*?/(\w+)\.parquet", ln)
+        if m:
+            cols = {c.split("#")[0] for c in m.group(1).split(",") if c.strip()}
+            yield m.group(2), cols
 
 
 @pytest.fixture(scope="module")
@@ -35,14 +63,31 @@ def _plan(spark, entry, name):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_no_cartesian_product_anywhere(spark, entry):
-    offenders = {}
-    for name in entry.queries():
-        plan = _plan(spark, entry, name)
-        if "CartesianProduct" in plan:
-            offenders[name] = True
-    assert not offenders, "unbroadcast cartesian joins in: %s" % (
-        sorted(offenders))
+@pytest.mark.parametrize("name", _all_query_names())
+def test_plan_shape(spark, entry, name):
+    """Per-query physical-plan contract: no unbroadcast cartesian, a
+    nested-loop join only where the documented broadcast-small cross
+    join is the intended plan, and column pruning reaching every
+    parquet scan (full-width documents reads only for the page
+    synthesizer that needs all five columns)."""
+    plan = _plan(spark, entry, name)
+    assert "CartesianProduct" not in plan, name
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in _BNLJ_OK, \
+            "%s: unexpected BroadcastNestedLoopJoin:\n%s" % (name, plan)
+        assert "BroadcastExchange" in plan, \
+            "%s: nested-loop join without a broadcast side" % name
+    for table, cols in _scans(plan):
+        if table == "documents" and name not in _FULL_DOC_OK:
+            assert cols < _DOC_FULL, \
+                "%s: unpruned documents scan reads %s" % (name, sorted(cols))
+        elif table == "embeddings":
+            assert cols <= {"vec_id", "embedding"}, \
+                "%s: embeddings scan reads %s" % (name, sorted(cols))
+        elif table == "events":
+            assert "event_id" not in cols and "props" not in cols or \
+                name == "events_props", \
+                "%s: events scan reads %s" % (name, sorted(cols))
 
 
 def test_column_pruning_reaches_scan(spark, entry):
