@@ -149,3 +149,94 @@ def harvest_table(anchor: str, spec_path: str = SPEC):
         if src[i] == ",":
             i += 1
     return cases
+
+
+def _scan_squote(src: str, i: int):
+    """Scan a single-quoted Ruby string (only \\' and \\\\ escape)."""
+    j = i + 1
+    out = []
+    n = len(src)
+    while j < n:
+        c = src[j]
+        if c == "\\" and j + 1 < n and src[j + 1] in ("'", "\\"):
+            out.append(src[j + 1])
+            j += 2
+            continue
+        if c == "'":
+            return "".join(out), j + 1
+        out.append(c)
+        j += 1
+    raise HarvestError("unterminated string at offset %d" % i)
+
+
+def _scan_key(src: str, i: int):
+    """Scan a hash key: ``"name" =>``, ``'name' =>``, ``name:`` or
+    ``:name =>``. Returns (key, next_index)."""
+    c = src[i]
+    if c in "\"'":
+        key, i = (_scan_dquote if c == '"' else _scan_squote)(src, i)
+        i = _skip_ws(src, i)
+        if src[i : i + 2] != "=>":
+            raise HarvestError("expected => after key %r" % key)
+        return key, i + 2
+    m = re.match(r":?([A-Za-z_]\w*)(:|\s*=>)", src[i:])
+    if not m:
+        raise HarvestError("cannot parse key at %r" % src[i : i + 40])
+    return m.group(1), i + m.end()
+
+
+def _scan_value(src: str, i: int):
+    """Scan a %-literal / quoted string / nested hash-of-literals."""
+    c = src[i]
+    if c == "%":
+        return _scan_percent(src, i)
+    if c == '"':
+        return _scan_dquote(src, i)
+    if c == "'":
+        return _scan_squote(src, i)
+    if c == "{":
+        i += 1
+        entries = {}
+        while True:
+            i = _skip_ws(src, i)
+            if src[i] == "}":
+                return entries, i + 1
+            k, i = _scan_key(src, i)
+            i = _skip_ws(src, i)
+            v, i = _scan_value(src, i)
+            entries[k] = v
+            i = _skip_ws(src, i)
+            if src[i] == ",":
+                i += 1
+    raise HarvestError("unexpected value syntax: %r" % src[i : i + 40])
+
+
+def harvest_hash_table(anchor: str, spec_path: str = SPEC, nth: int = 0):
+    """Extract [(name, value)] from a Ruby hash table after ``anchor``
+    where values are literals OR nested hashes of literals (the
+    expansion_spec / format_spec table shapes). ``nth`` selects among
+    consecutive tables (each opens with a brace-only line) following
+    the anchor — format_spec's ``.detect`` has a positive and a
+    negative table back to back."""
+    with open(spec_path, encoding="utf-8") as f:
+        src = f.read()
+    i = src.index(anchor)
+    if nth == 0:
+        i = src.index("{", i) + 1
+    else:
+        opens = [m.end() for m in re.finditer(r"(?m)^[ \t]*\{[ \t]*$", src)
+                 if m.start() > i]
+        i = opens[nth]
+    cases = []
+    while True:
+        i = _skip_ws(src, i)
+        if src[i] == "}":
+            break
+        key, i = _scan_key(src, i)
+        i = _skip_ws(src, i)
+        value, i = _scan_value(src, i)
+        cases.append((key, value))
+        i = _skip_ws(src, i)
+        if src[i] == ",":
+            i += 1
+    return cases
