@@ -39,8 +39,12 @@ def main():
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
         path = os.path.join(sf, t + ".parquet")
-        if os.path.exists(path):
-            con.sql("CREATE VIEW %s AS SELECT * FROM '%s'" % (t, path))
+        if os.path.isdir(path):
+            # spark-written table = a directory of part files
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.sql("CREATE VIEW %s AS SELECT * FROM '%s'" % (t, path))
 
     oracles = E.oracle_sql()
     failures = 0
