@@ -148,6 +148,7 @@ class RdfaWalker:
         processor_ptr: bool = False,
         vocab_expansion: bool = False,
         microdata: bool = True,
+        processor_callback=None,
     ):
         self.base_uri = base_uri
         self.host_language = host_language
@@ -158,10 +159,15 @@ class RdfaWalker:
         self.processor_ptr = processor_ptr
         self.vocab_expansion = vocab_expansion
         self.microdata = microdata
+        # per-statement callback for processor-graph rows
+        # (reader.rb:294,534-556: fires even when the processor graph
+        # is not among the requested output graphs)
+        self.processor_callback = processor_callback
 
         self.triples: dict = {}  # ordered set of (subj, pred, obj) term tuples
         self.processor: list = []  # (subj, pred, obj) rows for the processor graph
         self._bn = 0
+        self._pbn = 0
         self._bnode_cache: dict[str, tuple] = {}
         self.root: Element | None = None
 
@@ -190,6 +196,15 @@ class RdfaWalker:
         self._bn += 1
         return b
 
+    def _fresh_processor_bnode(self):
+        # separate namespace: processor-graph nodes must not consume
+        # the output-graph counter (the reference mints unrelated
+        # RDF::Node instances, reader.rb:535), or enabling the
+        # callback/processor graph would shift output skolem labels
+        b = bnode("p%d" % self._pbn)
+        self._pbn += 1
+        return b
+
     def add_triple(self, subject, predicate, object_):
         if subject is None or predicate is None or object_ is None:
             return
@@ -199,12 +214,17 @@ class RdfaWalker:
         self.triples[(subject, predicate, object_)] = None
         # reader.rb:572 — one Info processor row per emitted statement
         # (opt-in; see class docstring)
-        if self.processor_info and "processor" in self.rdfagraph:
+        if self.processor_info and self._wants_processor():
             self.add_info(None, "statement: %r %r %r"
                           % (subject, predicate, object_))
 
+    def _wants_processor(self) -> bool:
+        return ("processor" in self.rdfagraph
+                or self.processor_callback is not None)
+
     def _processor_row(self, cls, message, element=None):
-        n = self._fresh_bnode()
+        start = len(self.processor)
+        n = self._fresh_processor_bnode()
         self.processor.append((n, iri(RDF_TYPE), iri(cls)))
         self.processor.append((n, iri(DC_DESCRIPTION), literal(message)))
         if self.base_uri:
@@ -213,23 +233,26 @@ class RdfaWalker:
         # bnode shifts per-document bnode numbering, so the default
         # stays minimal/deterministic for the value oracles
         if self.processor_ptr and element is not None:
-            nc = self._fresh_bnode()
+            nc = self._fresh_processor_bnode()
             PTR = "http://www.w3.org/2009/pointers#"
             self.processor.append((n, iri(RDFA_CONTEXT_PRED), nc))
             self.processor.append((nc, iri(RDF_TYPE), iri(PTR + "XPathPointer")))
             self.processor.append((nc, iri(PTR + "expression"),
                                    literal(element.path())))
+        if self.processor_callback is not None:
+            for row in self.processor[start:]:
+                self.processor_callback(row)
 
     def add_info(self, element, message, cls=RDFA_INFO):
-        if self.processor_info and "processor" in self.rdfagraph:
+        if self.processor_info and self._wants_processor():
             self._processor_row(cls, message, element)
 
     def add_warning(self, element, message, cls=RDFA_WARNING):
-        if "processor" in self.rdfagraph:
+        if self._wants_processor():
             self._processor_row(cls, message, element)
 
     def add_error(self, element, message, cls=RDFA_ERROR):
-        if "processor" in self.rdfagraph:
+        if self._wants_processor():
             self._processor_row(cls, message, element)
 
     # --- resolution wrappers -----------------------------------------
@@ -1003,7 +1026,8 @@ class RdfaWalker:
 def parse_rdfa(html, url=None, host_language=None, version=None,
                rdfagraph=("output",), reference_folding=True,
                processor_info=False, processor_ptr=False,
-               vocab_expansion=False, microdata=True):
+               vocab_expansion=False, microdata=True,
+               processor_callback=None):
     """Parse one document → (output_triples, processor_triples, root).
 
     ``html`` may be bytes (charset-sniffed; nokogiri.rb:161-188) or str.
@@ -1030,7 +1054,8 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
     w = RdfaWalker(url, host_language=hl, version=ver, rdfagraph=rdfagraph,
                    reference_folding=reference_folding,
                    processor_info=processor_info, processor_ptr=processor_ptr,
-                   vocab_expansion=vocab_expansion, microdata=microdata)
+                   vocab_expansion=vocab_expansion, microdata=microdata,
+                   processor_callback=processor_callback)
     if doc_errors:
         # one rdfa:Error row with the unique messages joined
         # (reader.rb:346: add_error(nil, doc_errors.map(&:message)...))
@@ -1040,4 +1065,7 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
     # graph routing (reader.rb:459-466): output statements are yielded
     # only when the output graph was requested
     out = list(w.triples) if "output" in rdfagraph else []
-    return out, list(w.processor), root
+    # callback-only mode generates processor rows for the callback but
+    # keeps them OUT of the returned graphs (reader.rb graph routing)
+    proc = list(w.processor) if "processor" in rdfagraph else []
+    return out, proc, root

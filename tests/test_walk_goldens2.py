@@ -194,3 +194,26 @@ def test_rdf_xmlliteral_namespace_injection():
             L('E = mc<sup xmlns="http://www.w3.org/1999/xhtml">2</sup>'
               ': The Most Urgent Problem of Our Time',
               dt=RDF + "XMLLiteral")) in got, sorted(got)
+
+
+def test_processor_callback_fires_without_processor_graph():
+    """reader.rb:294,534-541: the per-statement callback receives every
+    processor-graph row even when rdfagraph excludes 'processor', and
+    those rows stay OUT of the returned graphs."""
+    from rdf_rdfa_spark.rdfa.walk import parse_rdfa
+
+    html = '<div property="noterm">x</div>'  # undefined TERM → warning
+    seen = []
+    out, proc, _ = parse_rdfa(html, url="http://cb.example/",
+                              processor_callback=seen.append)
+    assert seen, "callback never fired for the undefined-term warning"
+    assert proc == []          # processor graph not requested → not returned
+    # every callback row is a well-formed term-tuple triple
+    assert all(len(t) == 3 and t[1][0] == "iri" for t in seen)
+    # with the processor graph requested, the same rows are BOTH
+    # returned and called back
+    seen2 = []
+    out2, proc2, _ = parse_rdfa(html, url="http://cb.example/",
+                                rdfagraph=("output", "processor"),
+                                processor_callback=seen2.append)
+    assert seen2 == proc2 and proc2
