@@ -69,7 +69,9 @@ def pagerank(triples: DataFrame, iters: int = 10) -> DataFrame:
         .localCheckpoint()
     )
     n_nodes = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # referenced three times per iteration (contribs join, dangling
+    # anti-join, and via ranks' lineage) — materialize once
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("pr"))
     for _ in range(iters):
         contribs = (
