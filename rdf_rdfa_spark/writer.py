@@ -453,6 +453,7 @@ class RdfaHtmlWriter:
         return "\n".join(parts)
 
     def _subject(self, s, rel=None, inlist=None, element="div") -> str:
+        in_rel = rel is not None
         if s in self.serialized:
             return ""
         self.serialized.add(s)
@@ -483,12 +484,13 @@ class RdfaHtmlWriter:
         if typeof:
             inner.append('<span class="type">%s</span>' % _esc(typeof))
         for pred in self._order_properties(pv):
-            r = self._predicate(pred, pv[pred])
+            r = self._predicate(pred, pv[pred], in_rel=in_rel)
             if r:
                 inner.append(r)
         return "<%s%s>%s</%s>" % (element, attrs, "".join(inner), element)
 
-    def _predicate(self, pred: str, objects: list) -> str:
+    def _predicate(self, pred: str, objects: list,
+                   in_rel: bool = False) -> str:
         # split off rdf:List heads (render_property, writer.rb:308-363)
         lists = []
         plain = []
@@ -507,7 +509,17 @@ class RdfaHtmlWriter:
         # nested-bnode spine rendering (same fallback _list_items uses
         # for impure lists), so no triple is lost.  (The reference
         # writer.rb folds unconditionally; we diverge for fidelity.)
-        if lists and (len(lists) > 1 or self._ref_count(lists[0][0]) != 1):
+        # ... and rdf:nil as a sibling object is itself rendered with
+        # an empty @inlist, so it counts as a second list here.  Under
+        # a subject ENTERED VIA @rel, readers reset the list mapping on
+        # every child that re-establishes the subject (step 8 compares
+        # against parent SUBJECT, reader.rb:1062 — the parent object
+        # per the spec text, but the reference implements subject and
+        # we match it), so sibling @inlist elements there each start a
+        # fresh one-element list: only single-element folds are safe.
+        if lists and (len(lists) > 1 or self._ref_count(lists[0][0]) != 1
+                      or iri_t(_RDF_NIL) in plain
+                      or (in_rel and len(lists[0][1]) > 1)):
             plain.extend(h for h, _ in lists)
             lists = []
         out = []

@@ -165,3 +165,55 @@ def test_writer_roundtrip_fuzz(graph):
     out, _, _ = parse_rdfa(html, url="http://fuzz.example/doc")
     assert isomorphic(set(out), set(graph)), "\n%s\ngot:  %s\nwant: %s" % (
         html, sorted(out, key=repr), sorted(graph, key=repr))
+
+
+@st.composite
+def list_graph(draw):
+    """Graphs containing rdf:List spines in hostile shapes: shared
+    heads, multiple lists per predicate, externally referenced cells,
+    impure cells — the folding-safety surface."""
+    from rdf_rdfa_spark.rdfa.terms import bnode, iri, literal
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    first, rest, nil = iri(RDF + "first"), iri(RDF + "rest"), iri(RDF + "nil")
+    triples = set()
+    heads = []
+    for li in range(draw(st.integers(1, 3))):
+        n_items = draw(st.integers(0, 3))
+        cells = [bnode("l%d_%d" % (li, i)) for i in range(n_items)]
+        for i, c in enumerate(cells):
+            triples.add((c, first, literal(draw(_LEX))))
+            triples.add((c, rest, cells[i + 1] if i + 1 < n_items else nil))
+            if draw(st.booleans()) and draw(st.integers(0, 4)) == 0:
+                # impure cell: extra triple on the spine
+                triples.add((c, iri(_IRIS[0]), literal("extra")))
+        heads.append(cells[0] if cells else nil)
+    subj = iri("http://ex.org/s")
+    for h in heads:
+        pred = iri(draw(st.sampled_from(_IRIS[:3])))
+        triples.add((subj, pred, h))
+    if draw(st.booleans()) and heads and heads[0][0] == "bnode":
+        # shared head from a second predicate
+        triples.add((subj, iri(_IRIS[3]), heads[0]))
+    if draw(st.booleans()):
+        # external pointer INTO a spine cell
+        cell_bnodes = [t[0] for t in triples if t[0][0] == "bnode"]
+        if cell_bnodes:
+            triples.add((iri("http://ex.org/z"), iri(_IRIS[4]),
+                         draw(st.sampled_from(sorted(cell_bnodes, key=repr)))))
+    return sorted(triples, key=repr)
+
+
+@settings(max_examples=120, deadline=None)
+@given(list_graph())
+def test_writer_list_roundtrip_fuzz(graph):
+    """rdf:List shapes (shared heads, multi-list predicates, impure and
+    externally referenced cells) always round-trip isomorphically —
+    the @inlist folding safety property."""
+    from rdf_rdfa_spark.rdfa.bgp import isomorphic
+    from rdf_rdfa_spark.writer import serialize_rdfa
+
+    html = serialize_rdfa(graph)
+    out, _, _ = parse_rdfa(html, url="http://fuzz.example/doc")
+    assert isomorphic(set(out), set(graph)), "\n%s\ngot:  %s\nwant: %s" % (
+        html, sorted(out, key=repr), sorted(graph, key=repr))
