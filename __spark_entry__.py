@@ -208,6 +208,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash configuration under the value oracle:
+    auto banding (threshold 0.9 → b=8/r=8) AND the max_bucket=64 skew
+    cap, with the md5-60bit token hash so DuckDB can replay the exact
+    signatures, band keys, bucket-size drops, and verify join."""
+    return dedup.minhash_near_dup_pairs(
+        _dup_corpus(spark, sf_dir), threshold=0.9, max_bucket=64,
+        hash_fn=dedup.md5_60bit).select(
+        "a", "b",
+        F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_bp"))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncapped blocking buckets → exhaustive within-bucket recall, so
     # the output is replayable in SQL; bench.py measures the capped
@@ -387,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rollup": q_host_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_capped": q_dedup_minhash_capped,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -575,6 +588,79 @@ WHERE len(list_intersect(a.t, b.t)) * 1.0
 # node, so it always survives to reach the whole component. canonical
 # matches Spark's connected_components (LEXICOGRAPHIC min over the
 # stringified ids — both sides compare as VARCHAR).
+
+
+def _dedup_minhash_capped_sql(bands: int = 8, num_hashes: int = 64,
+                              max_bucket: int = 64,
+                              threshold: float = 0.9) -> str:
+    """Exact SQL replay of the PRODUCTION LSH path: md5-60bit token
+    hashes mod the Mersenne prime, the 64 SplitMix64 permutations
+    (a*h+b mod p — a,h < 2^31 so products stay in BIGINT), r-row band
+    keys, bucket-size window [2, max_bucket], in-bucket pair
+    generation, and the exact-Jaccard verify with the Spark float op
+    order.  Band grouping uses the raw r-tuple string where Spark
+    groups on xxhash64 of it — identical partitions (a Spark-side hash
+    collision could only merge two buckets, P ~ 2^-64)."""
+    from rdf_rdfa_spark.pipeline.canonicalize import (
+        _PRIME, permutation_params)
+
+    r = num_hashes // bands
+    params = permutation_params(num_hashes)
+    mins = ",\n    ".join(
+        "list_min(list_transform(h, x -> (%d * x + %d) %% %d))"
+        % (a, b, _PRIME) for a, b in params)
+    band_keys = ",\n    ".join(
+        "array_to_string(list_slice(sig, %d, %d), ',')"
+        % (j * r + 1, j * r + r) for j in range(bands))
+    return """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM ({dup})
+),
+hashed AS (
+  SELECT id, t,
+    list_transform(t, tok ->
+      list_sum(list_transform(range(1, 16), i ->
+        CAST(strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1
+             AS BIGINT) << ((15 - i) * 4))) % {prime}) AS h
+  FROM toks
+),
+sigs AS (
+  SELECT id, t, [
+    {mins}
+  ] AS sig FROM hashed
+),
+banded AS (
+  SELECT id, t, b.b AS band,
+         [{band_keys}][b.b + 1] AS key
+  FROM sigs, (SELECT unnest(range(0, {bands})) AS b) b
+),
+buckets AS (
+  SELECT band, key, list_sort(list(id)) AS ids
+  FROM banded GROUP BY band, key
+  HAVING len(list(id)) BETWEEN 2 AND {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT ids[i.i] AS a, ids[j.j] AS b
+  FROM buckets,
+       (SELECT unnest(range(1, {cap})) AS i) i,
+       (SELECT unnest(range(2, {cap1})) AS j) j
+  WHERE i.i < j.j AND j.j <= len(ids)
+)
+SELECT c.a, c.b,
+       CAST(FLOOR((len(list_intersect(ta.t, tb.t)) * 1.0
+            / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))))
+            * 10000) AS BIGINT) AS jaccard_bp
+FROM cand c JOIN toks ta ON ta.id = c.a JOIN toks tb ON tb.id = c.b
+WHERE len(list_intersect(ta.t, tb.t)) * 1.0
+      / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)))
+      >= {thr}
+""".format(dup=_DUP_CORPUS_SQL, prime=_PRIME, mins=mins,
+           band_keys=band_keys, bands=bands, max_bucket=max_bucket,
+           cap=max_bucket + 1, cap1=max_bucket + 2, thr=threshold)
+
+
 _DEDUP_CLUSTERS_SQL = """
 WITH RECURSIVE
 pairs AS (SELECT a, b FROM ({mh})),
@@ -959,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash": _DEDUP_MINHASH_SQL,
+        "dedup_minhash_capped": _dedup_minhash_capped_sql(),
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "events_session_windows": _SESSION_WINDOWS_SQL,

@@ -49,9 +49,16 @@ def permutation_params(num_hashes: int = 64, seed: int = 42):
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", num_hashes: int = 64) -> DataFrame:
-    """→ (id, sig array<bigint>). JVM-only expressions."""
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       hash_fn=None) -> DataFrame:
+    """→ (id, sig array<bigint>). JVM-only expressions.
+
+    ``hash_fn`` defaults to the fast JVM xxhash64; pass an
+    SQL-replayable hash (e.g. textops.dedup.md5_60bit) when the
+    output must be value-oracled in DuckDB."""
     params = permutation_params(num_hashes)
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
 
     # materialize the token-hash array in its OWN projection so the
@@ -63,7 +70,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     hashed = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.transform(tokens, lambda t: F.pmod(
-            F.xxhash64(t), F.lit(_PRIME))).alias("_h"),
+            hash_fn(t), F.lit(_PRIME))).alias("_h"),
     )
     # the 64 permutations live in a LITERAL params array and are
     # evaluated by one nested-lambda expression (runtime loop), not 64

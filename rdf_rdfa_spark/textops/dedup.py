@@ -226,7 +226,7 @@ def auto_bands(num_hashes: int, threshold: float) -> int:
 def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.9,
                            text_col: str = "text", id_col: str = "doc_id",
                            num_hashes: int = 64, bands: int | None = None,
-                           max_bucket: int = 64) -> DataFrame:
+                           max_bucket: int = 64, hash_fn=None) -> DataFrame:
     """Signatures → LSH candidates → exact verify.
 
     The candidate-pair set gets a LAZY localCheckpoint barrier before
@@ -247,7 +247,8 @@ def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.9,
     __spark_entry__."""
     if bands is None:
         bands = auto_bands(num_hashes, threshold)
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes)
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes,
+                              hash_fn=hash_fn)
     pairs = lsh_candidate_pairs(sigs, bands=bands, num_hashes=num_hashes,
                                 max_bucket=max_bucket)
     pairs = pairs.localCheckpoint(eager=False)
