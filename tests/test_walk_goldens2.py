@@ -217,3 +217,19 @@ def test_processor_callback_fires_without_processor_graph():
                                 rdfagraph=("output", "processor"),
                                 processor_callback=seen2.append)
     assert seen2 == proc2 and proc2
+
+
+def test_parse_cli_ntriples(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    page = tmp_path / "p.html"
+    page.write_text('<div about="#x" property="dc:title" lang="en">T&amp;T</div>')
+    out = subprocess.run(
+        [_sys.executable, "scripts/parse.py", str(page),
+         "--uri", "http://cli.example/"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == (
+        '<http://cli.example/#x> <http://purl.org/dc/terms/title> '
+        '"T&T"@en .')
