@@ -217,3 +217,37 @@ def test_writer_list_roundtrip_fuzz(graph):
     out, _, _ = parse_rdfa(html, url="http://fuzz.example/doc")
     assert isomorphic(set(out), set(graph)), "\n%s\ngot:  %s\nwant: %s" % (
         html, sorted(out, key=repr), sorted(graph, key=repr))
+
+
+_XML_FRAGS = st.recursive(
+    _LEX.map(lambda s: s.replace("<", "&lt;").replace("]]>", "")),
+    lambda kids: st.builds(
+        lambda tag, attr, inner: "<%s%s>%s</%s>" % (
+            tag, (' class="%s"' % attr) if attr else "", inner, tag),
+        st.sampled_from(["b", "sup", "em", "span", "code"]),
+        st.sampled_from(["", "x", "y z"]),
+        st.lists(kids, max_size=3).map("".join)),
+    max_leaves=6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_XML_FRAGS, max_size=3).map("".join),
+       st.sampled_from([None, "en"]))
+def test_xmlliteral_write_read_fixed_point(frag, lang):
+    """write→read is a FIXED POINT for XMLLiterals from any source:
+    one round may canonicalize (inject xmlns/xml:lang, normalize
+    escapes), but the canonical form then round-trips byte-exact."""
+    from rdf_rdfa_spark.rdfa.terms import iri, literal
+    from rdf_rdfa_spark.writer import serialize_rdfa
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    g = [(iri("http://ex.org/a"), iri("http://ex.org/p"),
+          literal(frag, None, RDF + "XMLLiteral"))]
+    html = serialize_rdfa(g, lang=lang)
+    out1, _, _ = parse_rdfa(html, url="http://fuzz.example/doc")
+    assert len(out1) == 1, html
+    # second round: the canonicalized graph must be exactly stable
+    html2 = serialize_rdfa(list(out1), lang=lang)
+    out2, _, _ = parse_rdfa(html2, url="http://fuzz.example/doc")
+    assert out2 == out1, "\n%s\n%s\n%r != %r" % (html, html2,
+                                                 sorted(out2), sorted(out1))
