@@ -1030,9 +1030,13 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
                processor_callback=None):
     """Parse one document → (output_triples, processor_triples, root).
 
-    ``html`` may be bytes (charset-sniffed; nokogiri.rb:161-188) or str.
+    ``html`` may be binary (charset-sniffed; nokogiri.rb:161-188) or
+    str. bytearray/memoryview are accepted too — DuckDB BLOB columns
+    and some Arrow paths deliver those instead of bytes.
     Term-tuple output; see pipeline.extract for the columnar adapter.
     """
+    if isinstance(html, (bytearray, memoryview)):
+        html = bytes(html)
     if isinstance(html, bytes):
         text = decode_html(html)
     else:
