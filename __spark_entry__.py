@@ -85,6 +85,31 @@ def q_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming extraction under the VALUE oracle: the same
+    pages go through readStream → mapInPandas extraction → parquet sink
+    (availableNow), and the sink contents must hash-match the batch
+    oracle SQL — batch ≡ stream, value-level."""
+    import shutil
+    import tempfile
+
+    from rdf_rdfa_spark.pipeline.streaming import stream_extract
+
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    in_dir = os.path.join(work, "pages")
+    out_dir = os.path.join(work, "triples")
+    ckpt = os.path.join(work, "ckpt")
+    # split the input across several files so the stream takes >1
+    # micro-batch (maxFilesPerTrigger exercises incremental progress)
+    corpus.pages_df(spark, sf_dir).repartition(8).write.parquet(in_dir)
+    q = stream_extract(spark, in_dir, out_dir, ckpt,
+                       max_files_per_trigger=3)
+    q.awaitTermination()
+    result = spark.read.parquet(out_dir).select(*_TRIPLE_COLS)
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+    return result
+
+
 def q_rdfa_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_rdfa_extract(spark, sf_dir)
@@ -390,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "writer_roundtrip": q_writer_roundtrip,
         "kg_degrees": q_kg_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "stream_extract": q_stream_extract,
         "rdfa_pred_counts": q_rdfa_pred_counts,
         "rdfa_text_identity": q_rdfa_text_identity,
         "rdfa_processor_counts": q_rdfa_processor_counts,
@@ -1025,6 +1051,8 @@ def oracle_sql() -> dict[str, str]:
     triples = corpus.triples_oracle_sql()
     return {
         "rdfa_extract": triples,
+        # batch ≡ stream: the streaming sink must match the SAME oracle
+        "stream_extract": triples,
         "kg_degrees": _kg_degrees_sql(triples),
         "kg_pagerank": _kg_pagerank_sql(triples),
         "writer_roundtrip": (
