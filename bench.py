@@ -224,7 +224,7 @@ def run_sf1(sf_dir: str, budget_sec: float | None = None) -> dict:
     from rdf_rdfa_spark.textops import dedup as _dedup
     import __spark_entry__ as E
 
-    budget = budget_sec or float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420"))
+    budget = budget_sec or float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "300"))
     spark = get_spark(app_name="bench-sf1")
     sf1_dir = corpus.materialize_scaled_sf(
         spark, sf_dir, "/tmp/spark_graft_sf1", mult=10)
