@@ -33,13 +33,14 @@ from .rdfa.dom import c14n_fragment
 from .rdfa.terms import RDF_TYPE
 
 _ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+_ESC_TRANS = str.maketrans(_ESC)
 
 # suffix that survives CURIE round-tripping (conservative NCName-ish)
 _SUFFIX_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
 
 
 def _esc(s: str) -> str:
-    return "".join(_ESC.get(c, c) for c in s)
+    return s.translate(_ESC_TRANS)
 
 
 class _CurieMinter:
