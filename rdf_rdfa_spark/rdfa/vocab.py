@@ -59,3 +59,35 @@ def tbox_closures(tbox_rows):
         [(a, b) for (a, b) in prop if a != b],
         [(a, b) for (a, b) in cls if a != b],
     )
+
+
+_AXIOM_RELS = {RDFS_SUBPROPERTYOF, RDFS_SUBCLASSOF,
+               OWL_EQUIVPROP, OWL_EQUIVCLASS}
+
+
+def register_vocabulary(url: str, source) -> int:
+    """Register a vocabulary for offline expansion, mirroring the
+    reference's vocab_repository/Vocabulary.find resolution
+    (expansion.rb:21-33) without the network fetch: at corpus scale
+    vocabularies are packaged with the job, not fetched per document.
+
+    ``source`` is either an iterable of (sub, rel, sup) string rows or
+    a Turtle document string (parsed with the embedded-script Turtle
+    reader; only the four schema-axiom predicates are kept).  Returns
+    the number of axioms registered.  Call on the DRIVER before
+    building the extraction/expansion plan — the registry travels to
+    executors inside the UDF closure; late registrations on a live
+    cluster won't reach already-pickled plans."""
+    if isinstance(source, str):
+        from .ntriples import parse_turtle
+
+        rows = [
+            (s[1], p[1], o[1])
+            for (s, p, o) in parse_turtle(source)
+            if p[1] in _AXIOM_RELS and s[0] == "iri" and o[0] == "iri"
+        ]
+    else:
+        rows = [(str(s), str(r), str(o)) for (s, r, o) in source
+                if str(r) in _AXIOM_RELS]
+    VOCAB_REGISTRY[str(url)] = rows
+    return len(rows)

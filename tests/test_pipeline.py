@@ -576,3 +576,34 @@ def test_bpe_token_counts(spark):
     # It |'s | 42 | degrees |, | isn |'t | it |?  -> 9
     assert got[1] == (9, 5)
     assert got[2] == (0, 1)
+
+
+def test_register_vocabulary_end_to_end(spark):
+    """A user-registered vocabulary (Turtle source) drives distributed
+    expansion, mirroring the reference's vocab_repository option."""
+    from rdf_rdfa_spark.pipeline.expand import RDFA_USESVOCABULARY, expand
+    from rdf_rdfa_spark.rdfa.vocab import VOCAB_REGISTRY, register_vocabulary
+
+    url = "http://vocab.test/reg#"
+    n = register_vocabulary(url, """
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        @prefix v: <http://vocab.test/reg#> .
+        @prefix up: <http://upstream.example/> .
+        v:localName rdfs:subPropertyOf up:name .
+        v:Thing rdfs:subClassOf up:Entity .
+        v:ignored v:notAnAxiom v:alsoIgnored .
+    """)
+    try:
+        assert n == 2
+        triples = spark.createDataFrame(
+            [("http://d/1", RDFA_USESVOCABULARY, url),
+             ("http://d/1", url + "localName", "X"),
+             ("http://d/1", RDF_TYPE, url + "Thing")],
+            "subj string, pred string, obj string")
+        got = {(r["subj"], r["pred"], r["obj"])
+               for r in expand(triples).collect()}
+        assert ("http://d/1", "http://upstream.example/name", "X") in got
+        assert ("http://d/1", RDF_TYPE,
+                "http://upstream.example/Entity") in got
+    finally:
+        VOCAB_REGISTRY.pop(url, None)
