@@ -607,3 +607,13 @@ def test_register_vocabulary_end_to_end(spark):
                 "http://upstream.example/Entity") in got
     finally:
         VOCAB_REGISTRY.pop(url, None)
+
+
+def test_auto_bands_matches_threshold_curve():
+    # s50 = (1/b)^(1/r) must sit below threshold - 0.05 with the
+    # largest admissible rows-per-band
+    assert dedup.auto_bands(64, 0.9) == 8      # r=8, s50 ≈ 0.77
+    assert dedup.auto_bands(64, 0.7) == 16     # r=4, s50 = 0.5
+    assert dedup.auto_bands(64, 0.99) == 4     # r=16, s50 ≈ 0.917
+    assert dedup.auto_bands(64, 0.3) == 32     # r=2, s50 ≈ 0.18
+    assert dedup.auto_bands(128, 0.9) == 16    # scales with num_hashes
