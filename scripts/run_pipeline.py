@@ -31,6 +31,8 @@ def main():
     ap = argparse.ArgumentParser()
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet dir of pages(url, warc_ts, html, text, lang)")
+    src.add_argument("--input-warc", help="WARC file glob (Common Crawl layout)")
+    src.add_argument("--input-jsonl", help="jsonl crawl dump glob")
     src.add_argument("--sf-dir", help="testdata sf dir (synthesize pages)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--chunks", type=int, default=16)
@@ -66,6 +68,14 @@ def main():
 
     if args.input:
         pages = spark.read.parquet(args.input)
+    elif args.input_warc:
+        from rdf_rdfa_spark.sources import read_warc_pages
+
+        pages = read_warc_pages(spark, args.input_warc)
+    elif args.input_jsonl:
+        from rdf_rdfa_spark.sources import read_jsonl_pages
+
+        pages = read_jsonl_pages(spark, args.input_jsonl)
     else:
         pages = corpus.pages_df(spark, args.sf_dir, repeat=args.repeat)
 

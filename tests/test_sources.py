@@ -1,0 +1,85 @@
+"""Source connectors: WARC (ISO 28500 / Common Crawl layout) and
+jsonl crawl dumps → the canonical pages schema → extraction e2e."""
+
+import gzip
+import os
+
+from rdf_rdfa_spark.sources.warc import (
+    parse_warc_records, warc_bytes_to_pages, read_warc_pages)
+from rdf_rdfa_spark.sources.jsonl import read_jsonl_pages
+from rdf_rdfa_spark.pipeline.extract import extract_triples
+
+
+def _warc_record(rtype, uri, payload, extra=()):
+    headers = ["WARC/1.0",
+               "WARC-Type: " + rtype,
+               "WARC-Date: 2026-01-02T03:04:05Z",
+               "WARC-Record-ID: <urn:uuid:%s>" % rtype]
+    if uri:
+        headers.append("WARC-Target-URI: " + uri)
+    headers.extend(extra)
+    headers.append("Content-Length: %d" % len(payload))
+    return ("\r\n".join(headers) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, ctype="text/html; charset=utf-8"):
+    return ("HTTP/1.1 200 OK\r\nContent-Type: %s\r\n"
+            "Content-Length: %d\r\n\r\n" % (ctype, len(body))).encode() + body
+
+
+HTML1 = b'<html><body><div about="#a" property="dc:title">One</div></body></html>'
+HTML2 = b'<html><body><div about="#b" property="dc:title">Two</div></body></html>'
+
+
+def _sample_warc() -> bytes:
+    return b"".join([
+        _warc_record("warcinfo", None, b"software: test\r\n"),
+        _warc_record("request", "http://w.example/1", b"GET / HTTP/1.1\r\n"),
+        _warc_record("response", "http://w.example/1", _http(HTML1)),
+        _warc_record("response", "http://w.example/img",
+                     _http(b"\x89PNG...", ctype="image/png")),
+        _warc_record("response", "http://w.example/2", _http(HTML2)),
+    ])
+
+
+def test_parse_warc_records_plain_and_gzip():
+    raw = _sample_warc()
+    for data in (raw, gzip.compress(raw)):
+        recs = list(parse_warc_records(data))
+        assert [r["headers"]["warc-type"] for r in recs] == [
+            "warcinfo", "request", "response", "response", "response"]
+        assert recs[2]["headers"]["warc-target-uri"] == "http://w.example/1"
+
+
+def test_warc_bytes_to_pages_filters_html():
+    pages = warc_bytes_to_pages(_sample_warc())
+    assert [p["url"] for p in pages] == ["http://w.example/1",
+                                         "http://w.example/2"]
+    assert pages[0]["html"] == HTML1
+    assert str(pages[0]["warc_ts"]) == "2026-01-02 03:04:05"
+    # html_only=False keeps the image response too
+    assert len(warc_bytes_to_pages(_sample_warc(), html_only=False)) == 3
+
+
+def test_read_warc_pages_end_to_end(spark, tmp_path):
+    # two files: one plain, one per-record-gzip-style (whole-file gzip)
+    (tmp_path / "a.warc").write_bytes(_sample_warc())
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_sample_warc()))
+    pages = read_warc_pages(spark, str(tmp_path) + "/*.warc*")
+    assert pages.count() == 4
+    got = {(r["url"], r["subj"]) for r in extract_triples(pages).collect()}
+    assert ("http://w.example/1", "http://w.example/1#a") in got
+    assert ("http://w.example/2", "http://w.example/2#b") in got
+
+
+def test_read_jsonl_pages(spark, tmp_path):
+    p = tmp_path / "dump.jsonl"
+    p.write_text(
+        '{"url": "http://j.example/1", "html": "%s", '
+        '"timestamp": "2026-01-02T03:04:05Z", "lang": "en"}\n'
+        % HTML1.decode().replace('"', '\\"'))
+    pages = read_jsonl_pages(spark, str(p))
+    rows = pages.collect()
+    assert rows[0]["url"] == "http://j.example/1" and rows[0]["lang"] == "en"
+    out = extract_triples(pages).collect()
+    assert any(r["subj"] == "http://j.example/1#a" for r in out)
