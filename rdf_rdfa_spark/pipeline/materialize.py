@@ -7,6 +7,7 @@ and subject-grouped joins prune partitions):
     <root>/triples/graph=<output|processor>/bucket=<k>/*.parquet
     <root>/_lineage/chunk-<i>.json     per-chunk row counts + stats
     <root>/_progress/chunk-<i>.done    commit markers (idempotent resume)
+    <root>/_snapshots/v<N>.json        per-commit file manifest (+ HEAD)
 
 Resume protocol: input pages are split into `chunks` deterministic
 url-hash chunks; a chunk is re-runnable (write is append + distinct at
@@ -43,8 +44,61 @@ def write_triples(triples: DataFrame, root: str, buckets: int = 64,
     ).parquet(os.path.join(root, "triples"))
 
 
-def read_triples(spark, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, "triples"))
+def read_triples(spark, root: str, snapshot: int | None = None) -> DataFrame:
+    """Read the store — optionally TIME-TRAVEL to a snapshot id: only
+    the data files recorded by manifests v1..v<snapshot> are scanned
+    (basePath keeps the graph/bucket partition columns), exactly the
+    Iceberg snapshot-read semantics on this manifest layout."""
+    tdir = os.path.join(root, "triples")
+    if snapshot is None:
+        return spark.read.parquet(tdir)
+    files: list[str] = []
+    for n in range(1, snapshot + 1):
+        with open(os.path.join(root, "_snapshots", "v%d.json" % n)) as fh:
+            files.extend(json.load(fh)["files_added"])
+    if not files:
+        return spark.read.parquet(tdir).limit(0)
+    return spark.read.option("basePath", tdir).parquet(
+        *[os.path.join(tdir, f) for f in files])
+
+
+def _store_files(tdir: str) -> set:
+    out = set()
+    for dirpath, _dirs, names in os.walk(tdir):
+        rel = os.path.relpath(dirpath, tdir)
+        for name in names:
+            if name.endswith(".parquet"):
+                out.add(name if rel == "." else os.path.join(rel, name))
+    return out
+
+
+def _commit_snapshot(root: str, chunk: int, files_added: set) -> int:
+    """Append a snapshot manifest for one committed chunk (the local-FS
+    stand-in for an Iceberg commit: manifest lists the data files the
+    commit added; HEAD is the current snapshot id). Single-writer by
+    design — the driver owns the store during a run."""
+    sdir = os.path.join(root, "_snapshots")
+    os.makedirs(sdir, exist_ok=True)
+    head_path = os.path.join(sdir, "HEAD")
+    head = 0
+    if os.path.exists(head_path):
+        with open(head_path) as fh:
+            head = int(fh.read().strip() or 0)
+    n = head + 1
+    with open(os.path.join(sdir, "v%d.json" % n), "w") as fh:
+        json.dump({"snapshot": n, "parent": head or None, "chunk": chunk,
+                   "files_added": sorted(files_added)}, fh)
+    with open(head_path, "w") as fh:
+        fh.write(str(n))
+    return n
+
+
+def current_snapshot(root: str) -> int:
+    head_path = os.path.join(root, "_snapshots", "HEAD")
+    if not os.path.exists(head_path):
+        return 0
+    with open(head_path) as fh:
+        return int(fh.read().strip() or 0)
 
 
 def _chunk_col(buckets_or_chunks: int):
@@ -71,12 +125,16 @@ def materialize_resumable(pages: DataFrame, root: str, chunks: int = 16,
         triples = triples.cache()
         n_triples = triples.count()
         n_pages = part.select("url").distinct().count()
+        before = _store_files(os.path.join(root, "triples"))
         write_triples(triples, root, buckets=buckets)
         triples.unpersist()
+        snap = _commit_snapshot(
+            root, i, _store_files(os.path.join(root, "triples")) - before)
         lineage = {
             "chunk": i,
             "pages": n_pages,
             "triples": n_triples,
+            "snapshot": snap,
             "elapsed_sec": round(time.time() - t0, 3),
         }
         with open(os.path.join(root, "_lineage", "chunk-%d.json" % i), "w") as f:

@@ -617,3 +617,25 @@ def test_auto_bands_matches_threshold_curve():
     assert dedup.auto_bands(64, 0.99) == 4     # r=16, s50 ≈ 0.917
     assert dedup.auto_bands(64, 0.3) == 32     # r=2, s50 ≈ 0.18
     assert dedup.auto_bands(128, 0.9) == 16    # scales with num_hashes
+
+
+def test_snapshot_time_travel(spark, sf_dir, tmp_path):
+    """Each committed chunk is an Iceberg-style snapshot: reading at
+    snapshot k scans only the files manifests v1..vk added, and the
+    latest read equals the plain store read."""
+    pages = corpus.pages_df(spark, sf_dir).limit(40).cache()
+    root = str(tmp_path / "store")
+    materialize.materialize_resumable(pages, root, chunks=3)
+    assert materialize.current_snapshot(root) == 3
+    total = materialize.read_triples(spark, root).count()
+    counts = [materialize.read_triples(spark, root, snapshot=k).count()
+              for k in (1, 2, 3)]
+    assert counts[0] > 0 and counts == sorted(counts)
+    assert counts[2] == total
+    # snapshot reads keep the partition columns for pruning
+    cols = materialize.read_triples(spark, root, snapshot=1).columns
+    assert "graph" in cols and "bucket" in cols
+    # snapshot 2 must equal chunks 0+1's lineage triple counts
+    lin = materialize.lineage_summary(root)
+    by_chunk = {c["chunk"]: c["triples"] for c in lin["chunks"]}
+    assert counts[1] == by_chunk[0] + by_chunk[1]
