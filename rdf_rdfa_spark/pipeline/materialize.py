@@ -52,14 +52,16 @@ def read_triples(spark, root: str, snapshot: int | None = None) -> DataFrame:
     tdir = os.path.join(root, "triples")
     if snapshot is None:
         return spark.read.parquet(tdir)
-    files: list[str] = []
+    files: set[str] = set()
     for n in range(1, snapshot + 1):
         with open(os.path.join(root, "_snapshots", "v%d.json" % n)) as fh:
-            files.extend(json.load(fh)["files_added"])
+            m = json.load(fh)
+        files.update(m["files_added"])
+        files.difference_update(m.get("files_removed", ()))
     if not files:
         return spark.read.parquet(tdir).limit(0)
     return spark.read.option("basePath", tdir).parquet(
-        *[os.path.join(tdir, f) for f in files])
+        *[os.path.join(tdir, f) for f in sorted(files)])
 
 
 def _store_files(tdir: str) -> set:
@@ -72,7 +74,9 @@ def _store_files(tdir: str) -> set:
     return out
 
 
-def _commit_snapshot(root: str, chunk: int, files_added: set) -> int:
+def _commit_snapshot(root: str, chunk, files_added: set,
+                     files_removed: set | None = None,
+                     kind: str = "append") -> int:
     """Append a snapshot manifest for one committed chunk (the local-FS
     stand-in for an Iceberg commit: manifest lists the data files the
     commit added; HEAD is the current snapshot id). Single-writer by
@@ -87,7 +91,8 @@ def _commit_snapshot(root: str, chunk: int, files_added: set) -> int:
     n = head + 1
     with open(os.path.join(sdir, "v%d.json" % n), "w") as fh:
         json.dump({"snapshot": n, "parent": head or None, "chunk": chunk,
-                   "files_added": sorted(files_added)}, fh)
+                   "kind": kind, "files_added": sorted(files_added),
+                   "files_removed": sorted(files_removed or ())}, fh)
     with open(head_path, "w") as fh:
         fh.write(str(n))
     return n
@@ -177,3 +182,85 @@ def subject_lookup(spark, root: str, subj: str, buckets: int = 64) -> DataFrame:
         read_triples(spark, root)
         .filter((F.col("bucket") == int(bucket)) & (F.col("subj") == subj))
     )
+
+
+def compact_store(spark, root: str, max_files_per_partition: int = 1,
+                  buckets: int = 64) -> dict:
+    """Small-file compaction: every (graph, bucket) partition holding
+    more than ``max_files_per_partition`` data files is rewritten into
+    one file, committed as a ``compact`` snapshot (files_added +
+    files_removed), and the replaced files are physically deleted —
+    the Iceberg rewrite_data_files + expire_snapshots pair collapsed
+    into one maintenance op (time travel to pre-compaction snapshots
+    becomes partial, exactly as after an Iceberg expire).
+
+    Incremental micro-batch ingestion (stream_materialize) creates one
+    file per partition per batch, so periodic compaction is what keeps
+    scan task counts flat at crawl scale."""
+    tdir = os.path.join(root, "triples")
+    by_part: dict[str, list] = {}
+    for rel in _store_files(tdir):
+        by_part.setdefault(os.path.dirname(rel), []).append(rel)
+    rewritten, added_all, removed_all = [], set(), set()
+    for part, files in sorted(by_part.items()):
+        if len(files) <= max_files_per_partition:
+            continue
+        before = _store_files(tdir)
+        (spark.read.option("basePath", tdir)
+         .parquet(*[os.path.join(tdir, f) for f in sorted(files)])
+         .drop("graph", "bucket")      # restored from the directory name
+         .coalesce(1)
+         .write.mode("append").parquet(os.path.join(tdir, part)))
+        new_files = _store_files(tdir) - before
+        added_all |= new_files
+        removed_all |= set(files)
+        rewritten.append(part)
+    if not rewritten:
+        return {"rewritten_partitions": [], "snapshot": current_snapshot(root)}
+    snap = _commit_snapshot(root, None, added_all, removed_all,
+                            kind="compact")
+    for rel in removed_all:
+        os.remove(os.path.join(tdir, rel))
+    return {"rewritten_partitions": rewritten, "snapshot": snap,
+            "files_removed": len(removed_all), "files_added": len(added_all)}
+
+
+def stream_materialize(spark, input_dir: str, root: str,
+                       checkpoint_dir: str, buckets: int = 64,
+                       available_now: bool = True,
+                       max_files_per_trigger: int = 16, **extract_kw):
+    """Incremental crawl ingestion: new page files under ``input_dir``
+    stream through the SAME extraction UDF and land in the SAME
+    partitioned store via foreachBatch — each micro-batch appends and
+    commits one snapshot (chunk = the batch id), so the store stays
+    time-travelable and lineage'd whether it was built by batch chunks,
+    streaming micro-batches, or both. The stream checkpoint makes each
+    batch exactly-once; the snapshot commit runs inside foreachBatch
+    AFTER the parquet append returns, mirroring the batch protocol."""
+    from .schema import PAGES_SCHEMA
+
+    os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
+
+    def _sink(batch_df, batch_id):
+        triples = extract_triples(batch_df, **extract_kw).cache()
+        n = triples.count()
+        tdir = os.path.join(root, "triples")
+        before = _store_files(tdir) if os.path.isdir(tdir) else set()
+        write_triples(triples, root, buckets=buckets)
+        triples.unpersist()
+        added = _store_files(tdir) - before
+        snap = _commit_snapshot(root, "stream-%d" % batch_id, added)
+        with open(os.path.join(root, "_lineage",
+                               "stream-%d.json" % batch_id), "w") as fh:
+            json.dump({"batch": batch_id, "triples": n, "snapshot": snap}, fh)
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    writer = (pages.writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -639,3 +639,34 @@ def test_snapshot_time_travel(spark, sf_dir, tmp_path):
     lin = materialize.lineage_summary(root)
     by_chunk = {c["chunk"]: c["triples"] for c in lin["chunks"]}
     assert counts[1] == by_chunk[0] + by_chunk[1]
+
+
+def test_stream_materialize_and_compact(spark, sf_dir, tmp_path):
+    """Micro-batch ingestion commits per-batch snapshots into the same
+    store layout; compaction rewrites small files under a `compact`
+    snapshot and both plain and snapshot reads stay consistent."""
+    pages = corpus.pages_df(spark, sf_dir).limit(30).cache()
+    in_dir, root = str(tmp_path / "in"), str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    pages.repartition(4).write.parquet(in_dir)
+    q = materialize.stream_materialize(
+        spark, in_dir, root, ckpt, max_files_per_trigger=2)
+    q.awaitTermination()
+    n_snaps = materialize.current_snapshot(root)
+    assert n_snaps >= 2            # several micro-batches committed
+    total = materialize.read_triples(spark, root).count()
+    assert materialize.read_triples(spark, root, snapshot=n_snaps).count() == total
+    assert 0 < materialize.read_triples(spark, root, snapshot=1).count() < total
+
+    res = materialize.compact_store(spark, root)
+    assert res["rewritten_partitions"]
+    # plain read, latest-snapshot read, and row content all survive
+    assert materialize.read_triples(spark, root).count() == total
+    assert materialize.read_triples(
+        spark, root, snapshot=res["snapshot"]).count() == total
+    # every live partition now holds at most one data file
+    from rdf_rdfa_spark.pipeline.materialize import _store_files
+    per_part = {}
+    for rel in _store_files(root + "/triples"):
+        per_part[os.path.dirname(rel)] = per_part.get(os.path.dirname(rel), 0) + 1
+    assert max(per_part.values()) == 1
