@@ -233,6 +233,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style host-group boilerplate removal under the value
+    oracle. The synthetic docs carry no newlines, so deterministic
+    line breaks are injected with a dialect-common replace() before
+    the op — the SQL oracle applies the identical expression."""
+    from rdf_rdfa_spark.textops.boilerplate import strip_boilerplate
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.expr("replace(text, ' the ', chr(10) || 'the ')"))
+    return strip_boilerplate(docs)
+
+
 def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION MinHash configuration under the value oracle:
     auto banding (threshold 0.9 → b=8/r=8) AND the max_bucket=64 skew
@@ -426,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_capped": q_dedup_minhash_capped,
+        "boilerplate_strip": q_boilerplate_strip,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -685,6 +698,48 @@ WHERE len(list_intersect(ta.t, tb.t)) * 1.0
 """.format(dup=_DUP_CORPUS_SQL, prime=_PRIME, mins=mins,
            band_keys=band_keys, bands=bands, max_bucket=max_bucket,
            cap=max_bucket + 1, cap1=max_bucket + 2, thr=threshold)
+
+
+_BOILERPLATE_SQL = """
+WITH docs AS (
+  SELECT doc_id AS id, source AS grp,
+         replace(text, ' the ', chr(10) || 'the ') AS text
+  FROM documents
+),
+split AS (
+  SELECT id, grp, string_split(text, chr(10)) AS sp FROM docs
+),
+-- fixed range + WHERE: DuckDB's range() table fn rejects lateral args
+-- and WITH ORDINALITY is unimplemented
+lines AS (
+  SELECT id, grp, sp[i.i] AS line, i.i - 1 AS pos
+  FROM split, (SELECT unnest(range(1, 4096)) AS i) i
+  WHERE i.i <= len(sp)
+),
+gd AS (SELECT grp, COUNT(DISTINCT id) AS group_docs FROM docs GROUP BY grp),
+bp AS (
+  SELECT l.grp, l.line
+  FROM (SELECT DISTINCT grp, line, id FROM lines) l
+  JOIN gd USING (grp)
+  GROUP BY l.grp, l.line, gd.group_docs
+  HAVING COUNT(*) * 2 >= gd.group_docs * 1
+),
+kept AS (
+  SELECT l.* FROM lines l
+  WHERE NOT EXISTS (SELECT 1 FROM bp
+                    WHERE bp.grp = l.grp AND bp.line = l.line)
+),
+re AS (
+  SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY id
+)
+SELECT d.id, COALESCE(re.clean_text, '') AS clean_text,
+       len(string_split(d.text, chr(10))) AS n_lines,
+       CAST(len(string_split(d.text, chr(10))) - COALESCE(re.n_kept, 0)
+            AS BIGINT) AS n_removed
+FROM docs d LEFT JOIN re ON re.id = d.id
+"""
 
 
 _DEDUP_CLUSTERS_SQL = """
@@ -1074,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash": _DEDUP_MINHASH_SQL,
         "dedup_minhash_capped": _dedup_minhash_capped_sql(),
+        "boilerplate_strip": _BOILERPLATE_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "events_session_windows": _SESSION_WINDOWS_SQL,

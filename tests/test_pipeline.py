@@ -670,3 +670,28 @@ def test_stream_materialize_and_compact(spark, sf_dir, tmp_path):
     for rel in _store_files(root + "/triples"):
         per_part[os.path.dirname(rel)] = per_part.get(os.path.dirname(rel), 0) + 1
     assert max(per_part.values()) == 1
+
+
+def test_strip_boilerplate_semantics(spark):
+    from rdf_rdfa_spark.textops.boilerplate import (
+        boilerplate_lines, strip_boilerplate)
+
+    rows = [
+        (1, "nav\nunique one\nfooter", "h1"),
+        (2, "nav\nunique two\nfooter", "h1"),
+        (3, "nav\nunique three", "h1"),
+        (4, "all alone here", "h2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bp = {(r["grp"], r["line"]) for r in boilerplate_lines(docs).collect()}
+    # nav: 3/3 docs; footer: 2/3 ≥ 1/2 → both boilerplate in h1.
+    # h2 has one doc: its single line is trivially 1/1 → stripped too
+    # (min_df applies per group; tiny groups self-identify — callers
+    # gate by group size upstream if that is not wanted)
+    assert ("h1", "nav") in bp and ("h1", "footer") in bp
+    got = {r["id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+           for r in strip_boilerplate(docs).collect()}
+    assert got[1] == ("unique one", 3, 2)
+    assert got[2] == ("unique two", 3, 2)
+    assert got[3] == ("unique three", 2, 1)
+    assert got[4] == ("", 1, 1)
