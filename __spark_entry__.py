@@ -233,6 +233,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter funnel: per-drop-reason document counts plus
+    kept/input totals — the report every training-data pipeline emits
+    before tokenization."""
+    from rdf_rdfa_spark.textops.filters import quality_funnel
+
+    return quality_funnel(_docs(spark, sf_dir))
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment: stable
+    under repartitioning and corpus growth, replayed exactly in SQL."""
+    from rdf_rdfa_spark.textops.filters import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir)).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style host-group boilerplate removal under the value
     oracle. The synthetic docs carry no newlines, so deterministic
@@ -439,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_capped": q_dedup_minhash_capped,
         "boilerplate_strip": q_boilerplate_strip,
+        "quality_funnel": q_quality_funnel,
+        "dataset_split": q_dataset_split,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -959,6 +982,43 @@ SELECT doc_id AS id,
 FROM documents
 """
 
+_QUALITY_FUNNEL_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+    length(text) AS n,
+    CAST(FLOOR((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 10000.0 / length(text)) AS BIGINT) AS punct_bp,
+    CAST(FLOOR((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 10000.0 / length(text)) AS BIGINT) AS digit_bp
+  FROM documents
+),
+flagged AS (
+  SELECT CASE
+    WHEN n < 200 THEN 'too_short'
+    WHEN n > 100000 THEN 'too_long'
+    WHEN punct_bp > 2000 THEN 'too_much_punct'
+    WHEN digit_bp > 2000 THEN 'too_many_digits'
+    WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
+  END AS r FROM scored
+)
+SELECT COALESCE(r, 'kept') AS stage, COUNT(*) AS n_docs FROM flagged GROUP BY 1
+UNION ALL
+SELECT 'input', COUNT(*) FROM documents
+"""
+
+_DATASET_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(1, 16), i ->
+      CAST(strpos('0123456789abcdef',
+                  substring(md5('v1|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+           AS BIGINT) << ((15 - i) * 4))) % 100 AS BIGINT) AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < 5 THEN 'val' WHEN bk < 10 THEN 'test'
+            ELSE 'train' END AS split,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_id, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM b GROUP BY 1
+"""
+
 _QUALITY_SQL = """
 SELECT doc_id AS id,
   length(text) AS n_chars_actual,
@@ -1142,6 +1202,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
         "quality_scores": _QUALITY_SQL,
+        "quality_funnel": _QUALITY_FUNNEL_SQL,
+        "dataset_split": _DATASET_SPLIT_SQL,
         "lang_id": _LANG_ID_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "multimodal_features": _MULTIMODAL_SQL,

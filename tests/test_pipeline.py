@@ -695,3 +695,23 @@ def test_strip_boilerplate_semantics(spark):
     assert got[2] == ("unique two", 3, 2)
     assert got[3] == ("unique three", 2, 1)
     assert got[4] == ("", 1, 1)
+
+
+def test_dataset_split_stable_under_growth(spark):
+    """A document's split never changes when the corpus grows — the
+    property that makes hash splits safe for eval-set hygiene."""
+    from rdf_rdfa_spark.textops.filters import dataset_split
+
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    s1 = {r["doc_id"]: r["split"] for r in dataset_split(small).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in dataset_split(big).collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    # ~5/5/90 split, deterministic
+    from collections import Counter
+    c = Counter(s2.values())
+    assert c["train"] > c["val"] > 0 and c["test"] > 0
+    # salt versioning changes assignments
+    s3 = {r["doc_id"]: r["split"]
+          for r in dataset_split(small, salt="v2").collect()}
+    assert s3 != s1
