@@ -254,6 +254,25 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over the near-dup clusters: per cluster keep
+    the member with the most tokens (ties → smallest id) — the final
+    step of an LLM dedup stage, value-oracled end to end on top of the
+    exhaustive cluster oracle."""
+    corpus_df = _dup_corpus(spark, sf_dir)
+    verified = dedup.minhash_near_dup_pairs(corpus_df, threshold=0.9,
+                                            bands=16, max_bucket=1 << 40)
+    clusters = dedup.canonical_clusters(verified).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("canonical").cast("long").alias("canonical"))
+    scores = corpus_df.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("score"))
+    return dedup.keep_best_per_cluster(clusters, scores).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "best_id", "n_members")
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style host-group boilerplate removal under the value
     oracle. The synthetic docs carry no newlines, so deterministic
@@ -459,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_capped": q_dedup_minhash_capped,
+        "dedup_keep_best": q_dedup_keep_best,
         "boilerplate_strip": q_boilerplate_strip,
         "quality_funnel": q_quality_funnel,
         "dataset_split": q_dataset_split,
@@ -780,6 +800,26 @@ cc AS (
 SELECT CAST(node AS BIGINT) AS id, CAST(MIN(comp) AS BIGINT) AS canonical
 FROM cc GROUP BY node
 """.format(mh=_DEDUP_MINHASH_SQL)
+
+_DEDUP_KEEP_BEST_SQL = """
+WITH clu AS ({clusters}),
+sc AS (
+  SELECT doc_id AS id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS score
+  FROM ({dup})
+),
+ranked AS (
+  SELECT clu.canonical AS cluster, clu.id,
+         row_number() OVER (PARTITION BY clu.canonical
+                            ORDER BY sc.score DESC, clu.id ASC) AS rn
+  FROM clu JOIN sc ON sc.id = clu.id
+),
+sizes AS (SELECT canonical AS cluster, COUNT(*) AS n_members
+          FROM clu GROUP BY canonical)
+SELECT r.cluster, r.id AS best_id, sizes.n_members
+FROM ranked r JOIN sizes USING (cluster)
+WHERE r.rn = 1
+"""
 
 # brute-force cosine top-k with Spark-identical scoring: sequential
 # left-to-right double accumulation and (desc cosine, asc vec_id)
@@ -1194,6 +1234,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "events_session_windows": _SESSION_WINDOWS_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL.format(
+            clusters=_DEDUP_CLUSTERS_SQL, dup=_DUP_CORPUS_SQL),
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ivf_sql(nlist=8, nprobe=4, k=10),

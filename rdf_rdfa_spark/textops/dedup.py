@@ -253,3 +253,31 @@ def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.9,
                                 max_bucket=max_bucket)
     pairs = pairs.localCheckpoint(eager=False)
     return jaccard_verify(pairs, docs, text_col, id_col, threshold)
+
+
+def keep_best_per_cluster(clusters: DataFrame, scores: DataFrame,
+                          score_col: str = "score",
+                          id_col: str = "id") -> DataFrame:
+    """Near-dup cluster → survivor selection: per cluster keep the
+    highest-scoring member (ties broken by smallest id — fully
+    deterministic). ``clusters`` is (id, canonical) from
+    canonical_clusters; ``scores`` is (id, score). One shuffle
+    (window partitioned by cluster; never a global sort).
+
+    → (cluster, best_id, n_members): the keep-list every LLM dedup
+    stage ends with — drop everything whose id isn't best_id."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("canonical")
+         .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+    ranked = (clusters.join(scores, clusters[id_col] == scores[id_col])
+              .drop(scores[id_col])
+              .withColumn("_rn", F.row_number().over(w)))
+    sizes = clusters.groupBy("canonical").agg(
+        F.count("*").alias("n_members"))
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .select(F.col("canonical").alias("cluster"),
+                F.col(id_col).alias("best_id"))
+        .join(sizes.withColumnRenamed("canonical", "cluster"), "cluster")
+    )
