@@ -65,16 +65,47 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
         pos = body_start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer encoding (crawlers store
+    the raw wire bytes, so chunked bodies are common in real WARCs).
+    Malformed chunking returns the bytes as-is — a page is better
+    parsed approximately than dropped."""
+    out = []
+    pos = 0
+    try:
+        while True:
+            eol = body.index(b"\r\n", pos)
+            size = int(body[pos:eol].split(b";")[0], 16)
+            if size == 0:
+                break
+            start = eol + 2
+            out.append(body[start:start + size])
+            pos = start + size + 2  # skip chunk CRLF
+    except (ValueError, IndexError):
+        return body
+    return b"".join(out)
+
+
 def _http_body(payload: bytes) -> tuple[bytes | None, str | None]:
     """HTTP response payload → (body, content_type); (None, None) when
-    it isn't an HTTP response."""
+    it isn't an HTTP response. Chunked transfer encoding and gzip
+    content encoding are undone (raw wire capture)."""
     if not payload[:5] == b"HTTP/":
         return None, None
     sep = payload.find(_CRLF2)
     if sep < 0:
         return None, None
     headers = _split_headers(payload[:sep])
-    return payload[sep + 4:], headers.get("content-type")
+    body = payload[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", ""):
+        body = _dechunk(body)
+    if headers.get("content-encoding", "").strip() in ("gzip", "x-gzip") \
+            and body[:2] == b"\x1f\x8b":
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            pass
+    return body, headers.get("content-type")
 
 
 def warc_bytes_to_pages(data: bytes, html_only: bool = True):

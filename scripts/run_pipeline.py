@@ -42,6 +42,9 @@ def main():
                     help="apply vocabulary-expansion entailment to the store")
     ap.add_argument("--link", action="store_true",
                     help="rewrite subj/obj to canonical sameAs-cluster IRIs")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact small store files after materialization "
+                         "(one file per partition, committed as a snapshot)")
     ap.add_argument("--export-pages", action="store_true",
                     help="re-emit the (refined) store as RDFa pages "
                          "(distributed writer, one doc per url)")
@@ -81,6 +84,9 @@ def main():
 
     manifest = materialize.materialize_resumable(
         pages, args.output, chunks=args.chunks, buckets=args.buckets)
+
+    if args.compact:
+        manifest["compaction"] = materialize.compact_store(spark, args.output)
 
     if args.expand or args.link:
         triples = materialize.read_triples(spark, args.output)

@@ -83,3 +83,22 @@ def test_read_jsonl_pages(spark, tmp_path):
     assert rows[0]["url"] == "http://j.example/1" and rows[0]["lang"] == "en"
     out = extract_triples(pages).collect()
     assert any(r["subj"] == "http://j.example/1#a" for r in out)
+
+
+def test_http_chunked_and_gzip_bodies():
+    from rdf_rdfa_spark.sources.warc import _http_body
+
+    chunked = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Transfer-Encoding: chunked\r\n\r\n"
+               b"5\r\n<html\r\n8\r\n>x</html\r\n1\r\n>\r\n0\r\n\r\n")
+    body, ctype = _http_body(chunked)
+    assert body == b"<html>x</html>" and ctype == "text/html"
+
+    gz = gzip.compress(HTML1)
+    resp = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + gz)
+    body, _ = _http_body(resp)
+    assert body == HTML1
+    # malformed chunking degrades to raw bytes, never raises
+    bad = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ")
+    assert _http_body(bad)[0] == b"ZZZ"
