@@ -102,3 +102,18 @@ def test_http_chunked_and_gzip_bodies():
     # malformed chunking degrades to raw bytes, never raises
     bad = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ")
     assert _http_body(bad)[0] == b"ZZZ"
+
+
+def test_warc_parser_hostile_bytes():
+    import random
+
+    rnd = random.Random(7)
+    for _ in range(200):
+        blob = bytes(rnd.randrange(256) for _ in range(rnd.randrange(400)))
+        list(parse_warc_records(blob))          # no crash
+        warc_bytes_to_pages(blob)
+    # truncated record: header promises more bytes than exist
+    trunc = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+             b"WARC-Target-URI: http://t/\r\nContent-Length: 100000\r\n\r\nhi")
+    pages = warc_bytes_to_pages(trunc)
+    assert len(pages) == 1 and pages[0]["html"] == b"hi"
