@@ -267,6 +267,67 @@ def run_sf1(sf_dir: str, budget_sec: float | None = None) -> dict:
     return out
 
 
+def run_parser_bench() -> dict:
+    """Single-core parser throughput — the number comparable to the
+    reference CLI's single-threaded "statements/second" print
+    (script/parse:50; the reference repo records no value). Measures
+    the pure-Python parse path with no Spark/Arrow around it, on the
+    synthetic corpus AND the real reference example pages."""
+    import duckdb
+
+    from rdf_rdfa_spark import corpus as _corpus
+    from rdf_rdfa_spark.rdfa.walk import parse_rdfa
+
+    out = {"metric": "parser_single_core", "unit": "pages_per_sec"}
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.01/documents.parquet'")
+    rows = con.sql(_corpus.pages_sql("duckdb")).df()
+    pages = [(u, bytes(h) if not isinstance(h, (str, bytes)) else h)
+             for u, h in zip(rows["url"], rows["html"])]
+    for name, reps in (("warm", 1), ("timed", 3)):
+        t0 = time.time()
+        n_triples = 0
+        for _ in range(reps):
+            for url, html in pages:
+                triples, _p, _r = parse_rdfa(html, url=url)
+                n_triples += len(triples)
+        dt = time.time() - t0
+    out["synthetic"] = {
+        "pages": len(pages), "page_kb_avg": round(
+            sum(len(h) for _, h in pages) / len(pages) / 1024, 1),
+        "pages_per_sec": round(reps * len(pages) / dt, 1),
+        "triples_per_sec": round(n_triples / dt, 1),
+    }
+    ex_dir = "/root/reference/example-files"
+    if os.path.isdir(ex_dir):
+        import glob as _glob
+
+        reals = []
+        for path in sorted(_glob.glob(ex_dir + "/*.html"))[:12]:
+            with open(path, "rb") as fh:
+                reals.append((os.path.basename(path), fh.read()))
+        for name, raw in reals:          # warm
+            parse_rdfa(raw, url="http://example.com/" + name)
+        t0 = time.time()
+        n_triples = n_bytes = 0
+        for _ in range(3):
+            for name, raw in reals:
+                triples, _p, _r = parse_rdfa(
+                    raw, url="http://example.com/" + name)
+                n_triples += len(triples)
+                n_bytes += len(raw)
+        dt = time.time() - t0
+        out["real_pages"] = {
+            "pages": len(reals),
+            "page_kb_avg": round(n_bytes / 3 / len(reals) / 1024, 1),
+            "pages_per_sec": round(3 * len(reals) / dt, 1),
+            "triples_per_sec": round(n_triples / dt, 1),
+            "mb_per_sec": round(n_bytes / dt / 1e6, 2),
+        }
+    return out
+
+
 def _burn(n):
     s = 0
     for i in range(n):
@@ -387,11 +448,15 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--q1-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--sf1-only", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--parser-bench", action="store_true",
+                    help="single-core parser throughput (no Spark)")
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
     elif args.sf1_only:
         print(json.dumps(run_sf1(args.sf_dir)))
+    elif args.parser_bench:
+        print(json.dumps(run_parser_bench()))
     else:
         print(json.dumps(run_bench(args.sf_dir, args.cores, args.repeat,
                                    q1_only=args.q1_only)))
