@@ -165,6 +165,15 @@ class RdfaWalker:
         self.processor_callback = processor_callback
 
         self.triples: dict = {}  # ordered set of (subj, pred, obj) term tuples
+        # per-document URI-resolution memo: template pages repeat the
+        # same CURIEs/terms on every element, so resolution is heavily
+        # cacheable. Only warning-free results are cached (a cached
+        # warning would change processor-graph row counts). _pin holds
+        # strong refs to the keyed mapping dicts so a freed dict's id
+        # can never be reused by a different mapping mid-document.
+        self._uri_cache: dict = {}
+        self._pin: dict = {}
+        self._warned = False
         self.processor: list = []  # (subj, pred, obj) rows for the processor graph
         self._bn = 0
         self._pbn = 0
@@ -244,14 +253,17 @@ class RdfaWalker:
                 self.processor_callback(row)
 
     def add_info(self, element, message, cls=RDFA_INFO):
+        self._warned = True
         if self.processor_info and self._wants_processor():
             self._processor_row(cls, message, element)
 
     def add_warning(self, element, message, cls=RDFA_WARNING):
+        self._warned = True
         if self._wants_processor():
             self._processor_row(cls, message, element)
 
     def add_error(self, element, message, cls=RDFA_ERROR):
+        self._warned = True
         if self._wants_processor():
             self._processor_row(cls, message, element)
 
@@ -262,9 +274,17 @@ class RdfaWalker:
 
         return warn
 
+    _CACHE_MISS = object()
+
     def process_uri(self, element, value, base, restrictions, uri_mappings=None,
                     term_mappings=None, vocab=None, parent_subject=None):
-        return R.process_uri(
+        key = (value, id(restrictions), base, vocab,
+               id(uri_mappings), id(term_mappings), parent_subject)
+        hit = self._uri_cache.get(key, self._CACHE_MISS)
+        if hit is not self._CACHE_MISS:
+            return hit
+        self._warned = False
+        result = R.process_uri(
             value,
             base,
             restrictions,
@@ -276,6 +296,11 @@ class RdfaWalker:
             version=self.version,
             warn=self._warn_cb(element),
         )
+        if not self._warned:
+            self._pin[id(uri_mappings)] = uri_mappings
+            self._pin[id(term_mappings)] = term_mappings
+            self._uri_cache[key] = result
+        return result
 
     def process_uris(self, element, value, base, restrictions, uri_mappings=None,
                      term_mappings=None, vocab=None, parent_subject=None):
