@@ -187,42 +187,42 @@ def subject_lookup(spark, root: str, subj: str, buckets: int = 64) -> DataFrame:
 def compact_store(spark, root: str, max_files_per_partition: int = 1,
                   buckets: int = 64) -> dict:
     """Small-file compaction: every (graph, bucket) partition holding
-    more than ``max_files_per_partition`` data files is rewritten into
-    one file, committed as a ``compact`` snapshot (files_added +
-    files_removed), and the replaced files are physically deleted —
-    the Iceberg rewrite_data_files + expire_snapshots pair collapsed
-    into one maintenance op (time travel to pre-compaction snapshots
-    becomes partial, exactly as after an Iceberg expire).
+    more than ``max_files_per_partition`` data files is rewritten,
+    committed as a ``compact`` snapshot (files_added + files_removed),
+    and the replaced files are physically deleted — the Iceberg
+    rewrite_data_files + expire_snapshots pair collapsed into one
+    maintenance op (time travel to pre-compaction snapshots becomes
+    partial, exactly as after an Iceberg expire).
 
-    Incremental micro-batch ingestion (stream_materialize) creates one
-    file per partition per batch, so periodic compaction is what keeps
-    scan task counts flat at crawl scale."""
+    ONE Spark job regardless of partition count: all oversized
+    partitions' files are read together with their partition columns
+    (basePath) and rewritten through a single partitionBy append —
+    repartitioning on the partition key keeps it to one output file
+    per partition. Incremental micro-batch ingestion
+    (stream_materialize) creates one file per partition per batch, so
+    periodic compaction is what keeps scan task counts flat at crawl
+    scale."""
     tdir = os.path.join(root, "triples")
     by_part: dict[str, list] = {}
     for rel in _store_files(tdir):
         by_part.setdefault(os.path.dirname(rel), []).append(rel)
-    rewritten, added_all, removed_all = [], set(), set()
-    for part, files in sorted(by_part.items()):
-        if len(files) <= max_files_per_partition:
-            continue
-        before = _store_files(tdir)
-        (spark.read.option("basePath", tdir)
-         .parquet(*[os.path.join(tdir, f) for f in sorted(files)])
-         .drop("graph", "bucket")      # restored from the directory name
-         .coalesce(1)
-         .write.mode("append").parquet(os.path.join(tdir, part)))
-        new_files = _store_files(tdir) - before
-        added_all |= new_files
-        removed_all |= set(files)
-        rewritten.append(part)
-    if not rewritten:
+    oversized = {p: fs for p, fs in by_part.items()
+                 if len(fs) > max_files_per_partition}
+    if not oversized:
         return {"rewritten_partitions": [], "snapshot": current_snapshot(root)}
-    snap = _commit_snapshot(root, None, added_all, removed_all,
-                            kind="compact")
-    for rel in removed_all:
+    to_rewrite = sorted(f for fs in oversized.values() for f in fs)
+    before = _store_files(tdir)
+    (spark.read.option("basePath", tdir)
+     .parquet(*[os.path.join(tdir, f) for f in to_rewrite])
+     .repartition("graph", "bucket")
+     .write.mode("append").partitionBy("graph", "bucket").parquet(tdir))
+    added = _store_files(tdir) - before
+    removed = set(to_rewrite)
+    snap = _commit_snapshot(root, None, added, removed, kind="compact")
+    for rel in removed:
         os.remove(os.path.join(tdir, rel))
-    return {"rewritten_partitions": rewritten, "snapshot": snap,
-            "files_removed": len(removed_all), "files_added": len(added_all)}
+    return {"rewritten_partitions": sorted(oversized), "snapshot": snap,
+            "files_removed": len(removed), "files_added": len(added)}
 
 
 def stream_materialize(spark, input_dir: str, root: str,
