@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .quality import quality_scores
 
 
 def quality_filter(docs: DataFrame,
@@ -22,7 +21,20 @@ def quality_filter(docs: DataFrame,
     """→ docs + (keep boolean, drop_reason string). First failing rule
     wins, in a FIXED order (too_short, too_long, too_much_punct,
     too_many_digits, lang) so the funnel is deterministic."""
-    scored = quality_scores(docs)
+    # inline the metric expressions (same spellings as quality_scores)
+    # rather than joining against it: a self-join of two projections of
+    # the same scan is a full shuffle at corpus scale, appended columns
+    # are free
+    text = F.col("text")
+    n = F.length(text)
+    strip = lambda pat: n - F.length(F.regexp_replace(text, pat, ""))
+    scored = (
+        docs.withColumn("n_chars_actual", n)
+        .withColumn("punct_bp",
+                    F.floor(strip(r"[.,;:!?]") * 10000 / n).cast("long"))
+        .withColumn("digit_bp",
+                    F.floor(strip(r"[0-9]") * 10000 / n).cast("long"))
+    )
     reason = (
         F.when(F.col("n_chars_actual") < min_chars, "too_short")
         .when(F.col("n_chars_actual") > max_chars, "too_long")
@@ -31,10 +43,7 @@ def quality_filter(docs: DataFrame,
         .when(~F.col("lang").isin(*allowed_langs), "lang")
     )
     return (
-        docs.join(scored.select(F.col("id").alias("doc_id"),
-                                "n_chars_actual", "punct_bp", "digit_bp"),
-                  "doc_id")
-        .withColumn("drop_reason", reason)
+        scored.withColumn("drop_reason", reason)
         .withColumn("keep", F.col("drop_reason").isNull())
     )
 
