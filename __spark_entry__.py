@@ -164,6 +164,20 @@ def _prop_tbox(spark):
     return spark.createDataFrame(rows, "sub string, rel string, sup string")
 
 
+def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative BGP query over the constructed KG: Articles with a
+    sameAs mirror, joined with their genre — three patterns compiled
+    to DataFrame joins on the shared subject variable."""
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_select, var
+
+    triples = q_rdfa_extract(spark, sf_dir)
+    return bgp_select(triples, [
+        (var("d"), RDF_TYPE, "http://schema.org/Article"),
+        (var("d"), "http://schema.org/sameAs", var("m")),
+        (var("d"), "http://schema.org/genre", var("g")),
+    ])
+
+
 def q_entail_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     abox = _docs(spark, sf_dir).selectExpr(
         "'%s' || doc_id AS subj" % DOC_NS,
@@ -471,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_pred_counts": q_rdfa_pred_counts,
         "rdfa_text_identity": q_rdfa_text_identity,
         "rdfa_processor_counts": q_rdfa_processor_counts,
+        "kg_bgp": q_kg_bgp,
         "entail_classes": q_entail_classes,
         "entail_props": q_entail_props,
         "entity_link_sameas": q_entity_link_sameas,
@@ -1202,6 +1217,18 @@ SELECT pred, n FROM (
 """.format(t=_RDF_TYPE)
 
 
+_KG_BGP_SQL = """
+WITH t AS ({t})
+SELECT DISTINCT p1.subj AS d, p2.obj AS m, p3.obj AS g
+FROM t p1
+JOIN t p2 ON p2.subj = p1.subj
+JOIN t p3 ON p3.subj = p1.subj
+WHERE p1.pred = '{rdf_type}' AND p1.obj = 'http://schema.org/Article'
+  AND p2.pred = 'http://schema.org/sameAs'
+  AND p3.pred = 'http://schema.org/genre'
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     triples = corpus.triples_oracle_sql()
     return {
@@ -1219,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rdfa_text_identity": "SELECT CAST(NULL AS VARCHAR) AS url WHERE 1=0",
         "rdfa_processor_counts": _PROCESSOR_COUNTS_SQL,
+        "kg_bgp": _KG_BGP_SQL.format(t=triples, rdf_type=_RDF_TYPE),
         "entail_classes": _ENTAIL_CLASSES_SQL,
         "entail_props": _ENTAIL_PROPS_SQL,
         "entity_link_sameas": _ENTITY_LINK_SQL,

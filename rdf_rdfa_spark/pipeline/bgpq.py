@@ -1,0 +1,59 @@
+"""Distributed basic-graph-pattern queries over the triple store —
+the "query the constructed KG" surface (the in-memory ASK evaluator
+in rdfa/bgp.py is its per-document little sibling).
+
+A BGP compiles to relational algebra: each triple pattern is a
+filtered projection of the triples table with its variables as
+columns; patterns join on shared variables (Catalyst then reorders /
+broadcasts as stats dictate — the plan is fully declarative). That is
+exactly how SPARQL engines over columnar stores execute (property
+tables aside), and on the subject-bucketed store a subject-variable
+join prunes to co-located buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_POSITIONS = ("subj", "pred", "obj")
+
+
+def var(name: str):
+    """A pattern variable (mirrors rdfa.bgp.v)."""
+    return ("var", name)
+
+
+def bgp_select(triples: DataFrame, patterns, select=None) -> DataFrame:
+    """patterns: [(s, p, o)] where each position is a concrete string
+    or var('name'). → one column per variable (or ``select``'s subset),
+    one row per solution (DISTINCT — set semantics like SPARQL
+    SELECT DISTINCT)."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    out = None
+    for s_p_o in patterns:
+        proj, filters, seen = [], [], {}
+        for pos, term in zip(_POSITIONS, s_p_o):
+            col = F.col(pos)
+            if isinstance(term, tuple) and term[0] == "var":
+                name = term[1]
+                if name in seen:
+                    # same variable twice in one pattern → equality
+                    filters.append(col == F.col(seen[name]))
+                else:
+                    seen[name] = pos
+                    proj.append(col.alias(name))
+            else:
+                filters.append(col == F.lit(term))
+        part = triples
+        for f in filters:
+            part = part.filter(f)
+        part = part.select(*proj).distinct()
+        if out is None:
+            out = part
+        else:
+            shared = [c for c in part.columns if c in out.columns]
+            out = out.join(part, shared) if shared else out.crossJoin(part)
+    if select:
+        out = out.select(*select)
+    return out.distinct()

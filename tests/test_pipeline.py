@@ -715,3 +715,28 @@ def test_dataset_split_stable_under_growth(spark):
     s3 = {r["doc_id"]: r["split"]
           for r in dataset_split(small, salt="v2").collect()}
     assert s3 != s1
+
+
+def test_bgp_select_semantics(spark):
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_select, var
+
+    rows = [
+        ("a", "type", "Art"), ("a", "same", "m1"), ("a", "genre", "g1"),
+        ("b", "type", "Art"), ("b", "genre", "g2"),
+        ("c", "same", "m3"), ("c", "genre", "g3"),
+        ("a", "loop", "a"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {tuple(r) for r in bgp_select(t, [
+        (var("d"), "type", "Art"),
+        (var("d"), "same", var("m")),
+    ]).collect()}
+    assert got == {("a", "m1")}
+    # same variable in two positions of one pattern → equality filter
+    loops = {r["x"] for r in bgp_select(
+        t, [(var("x"), "loop", var("x"))]).collect()}
+    assert loops == {"a"}
+    # select projection
+    only_d = {r["d"] for r in bgp_select(t, [
+        (var("d"), "genre", var("g"))], select=["d"]).collect()}
+    assert only_d == {"a", "b", "c"}
