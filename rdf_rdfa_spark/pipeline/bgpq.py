@@ -23,37 +23,62 @@ def var(name: str):
     return ("var", name)
 
 
-def bgp_select(triples: DataFrame, patterns, select=None) -> DataFrame:
-    """patterns: [(s, p, o)] where each position is a concrete string
-    or var('name'). → one column per variable (or ``select``'s subset),
-    one row per solution (DISTINCT — set semantics like SPARQL
-    SELECT DISTINCT)."""
-    if not patterns:
-        raise ValueError("empty BGP")
+def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
+    proj, filters, seen = [], [], {}
+    for pos, term in zip(_POSITIONS, s_p_o):
+        col = F.col(pos)
+        if isinstance(term, tuple) and term[0] == "var":
+            name = term[1]
+            if name in seen:
+                # same variable twice in one pattern → equality
+                filters.append(col == F.col(seen[name]))
+            else:
+                seen[name] = pos
+                proj.append(col.alias(name))
+        else:
+            filters.append(col == F.lit(term))
+    part = triples
+    for f in filters:
+        part = part.filter(f)
+    return part.select(*proj).distinct()
+
+
+def _join_patterns(triples: DataFrame, patterns) -> DataFrame:
     out = None
     for s_p_o in patterns:
-        proj, filters, seen = [], [], {}
-        for pos, term in zip(_POSITIONS, s_p_o):
-            col = F.col(pos)
-            if isinstance(term, tuple) and term[0] == "var":
-                name = term[1]
-                if name in seen:
-                    # same variable twice in one pattern → equality
-                    filters.append(col == F.col(seen[name]))
-                else:
-                    seen[name] = pos
-                    proj.append(col.alias(name))
-            else:
-                filters.append(col == F.lit(term))
-        part = triples
-        for f in filters:
-            part = part.filter(f)
-        part = part.select(*proj).distinct()
+        part = _pattern_df(triples, s_p_o)
         if out is None:
             out = part
         else:
             shared = [c for c in part.columns if c in out.columns]
             out = out.join(part, shared) if shared else out.crossJoin(part)
+    return out
+
+
+def bgp_select(triples: DataFrame, patterns, select=None,
+               filters=None, optional=None) -> DataFrame:
+    """patterns: [(s, p, o)] where each position is a concrete string
+    or var('name'). → one column per variable (or ``select``'s subset),
+    one row per solution (DISTINCT — set semantics like SPARQL
+    SELECT DISTINCT).
+
+    ``filters``: SPARQL FILTER — Column predicates (or SQL strings)
+    over the variable columns, applied to the joined solutions.
+    ``optional``: SPARQL OPTIONAL — a list of pattern GROUPS; each
+    group left-joins the solution set on its shared variables, so its
+    variables come back NULL where the group has no match."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    out = _join_patterns(triples, patterns)
+    for flt in (filters or ()):
+        out = out.filter(flt)
+    for group in (optional or ()):
+        opt = _join_patterns(triples, group)
+        shared = [c for c in opt.columns if c in out.columns]
+        if not shared:
+            raise ValueError("OPTIONAL group shares no variable "
+                             "with the required patterns")
+        out = out.join(opt, shared, "left")
     if select:
         out = out.select(*select)
     return out.distinct()

@@ -740,3 +740,31 @@ def test_bgp_select_semantics(spark):
     only_d = {r["d"] for r in bgp_select(t, [
         (var("d"), "genre", var("g"))], select=["d"]).collect()}
     assert only_d == {"a", "b", "c"}
+
+
+def test_bgp_filter_and_optional(spark):
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_select, var
+
+    rows = [
+        ("a", "type", "Art"), ("a", "score", "9"),
+        ("b", "type", "Art"), ("b", "score", "3"),
+        ("c", "type", "Art"),
+        ("a", "label", "AA"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # FILTER over a bound variable
+    got = {r["d"] for r in bgp_select(
+        t, [(var("d"), "type", "Art"), (var("d"), "score", var("s"))],
+        filters=["s > '5'"]).collect()}
+    assert got == {"a"}
+    # OPTIONAL keeps non-matching solutions with NULLs
+    rows2 = {(r["d"], r["s"]) for r in bgp_select(
+        t, [(var("d"), "type", "Art")],
+        optional=[[(var("d"), "score", var("s"))]]).collect()}
+    assert rows2 == {("a", "9"), ("b", "3"), ("c", None)}
+    # two OPTIONAL groups compose independently
+    rows3 = {(r["d"], r["s"], r["l"]) for r in bgp_select(
+        t, [(var("d"), "type", "Art")],
+        optional=[[(var("d"), "score", var("s"))],
+                  [(var("d"), "label", var("l"))]]).collect()}
+    assert rows3 == {("a", "9", "AA"), ("b", "3", None), ("c", None, None)}
