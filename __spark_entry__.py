@@ -165,17 +165,21 @@ def _prop_tbox(spark):
 
 
 def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative BGP query over the constructed KG: Articles with a
-    sameAs mirror, joined with their genre — three patterns compiled
-    to DataFrame joins on the shared subject variable."""
+    """Declarative BGP query over the constructed KG: Articles with
+    their genre, OPTIONALly joined with a sameAs mirror — required
+    patterns compile to inner joins on the shared subject variable,
+    the OPTIONAL group to a left join (NULL m where no script)."""
     from rdf_rdfa_spark.pipeline.bgpq import bgp_select, var
 
     triples = q_rdfa_extract(spark, sf_dir)
-    return bgp_select(triples, [
-        (var("d"), RDF_TYPE, "http://schema.org/Article"),
-        (var("d"), "http://schema.org/sameAs", var("m")),
-        (var("d"), "http://schema.org/genre", var("g")),
-    ])
+    return bgp_select(
+        triples,
+        [(var("d"), RDF_TYPE, "http://schema.org/Article"),
+         (var("d"), "http://schema.org/genre", var("g"))],
+        # OPTIONAL: only every 11th page embeds the sameAs script —
+        # the others come back with m = NULL (left-join semantics)
+        optional=[[(var("d"), "http://schema.org/sameAs", var("m"))]],
+    )
 
 
 def q_entail_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,13 +1223,12 @@ SELECT pred, n FROM (
 
 _KG_BGP_SQL = """
 WITH t AS ({t})
-SELECT DISTINCT p1.subj AS d, p2.obj AS m, p3.obj AS g
+SELECT DISTINCT p1.subj AS d, p3.obj AS g, p2.obj AS m
 FROM t p1
-JOIN t p2 ON p2.subj = p1.subj
-JOIN t p3 ON p3.subj = p1.subj
+JOIN t p3 ON p3.subj = p1.subj AND p3.pred = 'http://schema.org/genre'
+LEFT JOIN t p2 ON p2.subj = p1.subj
+              AND p2.pred = 'http://schema.org/sameAs'
 WHERE p1.pred = '{rdf_type}' AND p1.obj = 'http://schema.org/Article'
-  AND p2.pred = 'http://schema.org/sameAs'
-  AND p3.pred = 'http://schema.org/genre'
 """
 
 
