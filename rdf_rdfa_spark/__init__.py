@@ -15,11 +15,26 @@ __version__ = "0.1.0"
 
 # convenience top-level API
 from .rdfa.walk import parse_rdfa  # noqa: E402,F401
+from .rdfa.vocab import register_vocabulary  # noqa: E402,F401
 
 
-def extract_triples(pages_df, **kw):
-    """Lazy import wrapper (keeps `import rdf_rdfa_spark` Spark-free
-    for pure-parser users)."""
-    from .pipeline.extract import extract_triples as _et
+def _lazy(module, name):
+    """Spark-touching entry points import lazily so that plain
+    `import rdf_rdfa_spark` stays Spark-free for pure-parser users."""
+    def call(*a, **kw):
+        import importlib
 
-    return _et(pages_df, **kw)
+        return getattr(importlib.import_module(module, __name__), name)(*a, **kw)
+    call.__name__ = name
+    call.__doc__ = "Lazy wrapper for %s.%s" % (module, name)
+    return call
+
+
+extract_triples = _lazy(".pipeline.extract", "extract_triples")
+extract_text = _lazy(".pipeline.extract", "extract_text")
+serialize_rdfa = _lazy(".writer", "serialize_rdfa")
+read_warc_pages = _lazy(".sources.warc", "read_warc_pages")
+read_jsonl_pages = _lazy(".sources.jsonl", "read_jsonl_pages")
+materialize_resumable = _lazy(".pipeline.materialize", "materialize_resumable")
+read_triples = _lazy(".pipeline.materialize", "read_triples")
+bgp_select = _lazy(".pipeline.bgpq", "bgp_select")
