@@ -55,6 +55,17 @@ def _join_patterns(triples: DataFrame, patterns) -> DataFrame:
     return out
 
 
+def bgp_union(triples: DataFrame, groups, select=None) -> DataFrame:
+    """SPARQL UNION: solutions of several pattern groups combined.
+    Groups must bind the same variables (or pass ``select`` to project
+    the common subset); result is DISTINCT across groups."""
+    outs = [bgp_select(triples, g, select=select) for g in groups]
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out.distinct()
+
+
 def bgp_select(triples: DataFrame, patterns, select=None,
                filters=None, optional=None) -> DataFrame:
     """patterns: [(s, p, o)] where each position is a concrete string

@@ -768,3 +768,16 @@ def test_bgp_filter_and_optional(spark):
         optional=[[(var("d"), "score", var("s"))],
                   [(var("d"), "label", var("l"))]]).collect()}
     assert rows3 == {("a", "9", "AA"), ("b", "3", None), ("c", None, None)}
+
+
+def test_bgp_union(spark):
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_select, bgp_union, var
+
+    rows = [("a", "type", "Art"), ("b", "type", "Book"),
+            ("c", "type", "Art"), ("a", "type", "Book")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r["d"] for r in bgp_union(t, [
+        [(var("d"), "type", "Art")],
+        [(var("d"), "type", "Book")],
+    ]).collect()}
+    assert got == {"a", "b", "c"}
