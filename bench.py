@@ -169,6 +169,14 @@ def run_bench(sf_dir: str, cores: int, repeat: int = BENCH_REPEAT,
     # Ratios ≈ 10 ⇒ the plans are linear in input size; recorded so
     # every BENCH_r{N}.json carries its own scale-up check.
     spark.stop()
+    # end-of-run calibration: hypervisor steal often arrives MID-run
+    # (observed q3 3.4s..18s swings with a healthy START calibration) —
+    # recording both ends makes degraded windows visible in the artifact
+    cal_end = calibrate_cpu(procs_list=(1, 8))
+    extras["calibration_end"] = {
+        "wall_sec": cal_end["wall_sec"],
+        "healthy": cal_end["wall_sec"][8] < 1.6 * cal_end["wall_sec"][1],
+    }
     if (os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
             and re.search(r"sf0\.1/?$", sf_dir)):
         try:
