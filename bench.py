@@ -49,6 +49,10 @@ def run_bench(sf_dir: str, cores: int, repeat: int = BENCH_REPEAT,
     extras["calibration"] = {
         "wall_sec": cal["wall_sec"],
         "healthy": cal["wall_sec"][8] < 1.6 * cal["wall_sec"][1],
+        # loadavg integrates minutes of contention the 2-second
+        # calibration sample can miss; >0.5/core at start means the
+        # run began in another workload's shadow
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
 
     def _isolate():
@@ -176,6 +180,7 @@ def run_bench(sf_dir: str, cores: int, repeat: int = BENCH_REPEAT,
     extras["calibration_end"] = {
         "wall_sec": cal_end["wall_sec"],
         "healthy": cal_end["wall_sec"][8] < 1.6 * cal_end["wall_sec"][1],
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     if (os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
             and re.search(r"sf0\.1/?$", sf_dir)):
