@@ -249,6 +249,12 @@ def run_sf1(sf_dir: str, budget_sec: float | None = None) -> dict:
     import __spark_entry__ as E
 
     budget = budget_sec or float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "300"))
+    # short cooldown: this subprocess starts in the main sweep's
+    # loadavg shadow (best-of-2 mitigates the rest)
+    waited = 0.0
+    while os.getloadavg()[0] > 4.0 and waited < 60:
+        time.sleep(5)
+        waited += 5
     spark = get_spark(app_name="bench-sf1")
     sf1_dir = corpus.materialize_scaled_sf(
         spark, sf_dir, "/tmp/spark_graft_sf1", mult=10)
