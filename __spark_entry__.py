@@ -1019,7 +1019,7 @@ FROM s WHERE cosine >= 0.99
 _DEDUP_EXACT_SQL = """
 SELECT md5(text) AS fingerprint, COUNT(*) AS n_dups,
        MIN(doc_id) AS canonical_id,
-       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 100), ',') AS dup_ids
 FROM ({dup}) GROUP BY md5(text) HAVING COUNT(*) > 1
 """.format(dup=_DUP_CORPUS_SQL)
 

@@ -119,10 +119,25 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
         *[F.struct(F.lit(j).alias("band"), band_cols[j].alias("key"))
           for j in range(bands)]
     )).alias("bk")).select("id", "bk.band", "bk.key")
+    # referenced twice below (count + collect); lazy barrier so the
+    # explode isn't recomputed and AQE gets real stats for the guard join
+    banded = banded.localCheckpoint(eager=False)
+    # skew guard BEFORE the collect: a single hot band key (e.g. every
+    # empty/template page sharing one signature band) would otherwise
+    # accumulate its full membership in ONE aggregation buffer — a
+    # TypedImperativeAggregate buffer for a single group cannot spill,
+    # so that's an executor OOM at crawl scale.  Pre-count membership
+    # (count() partials are bounded) and keep only keys with
+    # 2..max_bucket members; the collect_list below then never sees a
+    # group larger than max_bucket.  Count, semi-join, and collect all
+    # hash-partition on (band, key), so the shuffle is reused.
+    ok = (banded.groupBy("band", "key").agg(F.count("*").alias("n_b"))
+          .filter((F.col("n_b") > 1) & (F.col("n_b") <= max_bucket))
+          .select("band", "key"))
     buckets = (
-        banded.groupBy("band", "key")
+        banded.join(ok, ["band", "key"], "left_semi")
+        .groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     pairs = (
         buckets.select(F.explode(F.expr(

@@ -9,23 +9,33 @@ records paired with their HTTP payload, and non-HTML responses
 dropped as early as possible (the content-type filter runs before any
 body decoding).
 
+Per-task memory is bounded by RECORD size, not file size: gzip
+members are decompressed incrementally (``zlib.decompressobj`` with a
+capped output window, one member at a time — Common Crawl gzips each
+record as its own member), records are cut from a rolling buffer that
+is compacted as records are emitted, and the Spark reader yields
+pages in bounded Arrow batches.  A truncated or corrupt archive
+yields every complete record before the damage and drops the tail —
+one bad .warc.gz cannot abort a crawl-scale job (and a decode error
+never escapes the reader).
+
 The WARC grammar implemented here is the public ISO 28500 core:
 ``WARC/1.x`` version line, CRLF header block, Content-Length payload,
-CRLF CRLF record separator. Common Crawl's per-record gzip members
-concatenate into one stream that :func:`gzip.decompress` handles
-natively (it walks members).
+CRLF CRLF record separator.
 """
 
 from __future__ import annotations
 
 import gzip
-import io
+import zlib
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 _CRLF2 = b"\r\n\r\n"
+# a WARC header block larger than this is garbage, not a header
+_MAX_HEADER = 1 << 20
 
 
 def _split_headers(block: bytes) -> dict:
@@ -38,31 +48,91 @@ def _split_headers(block: bytes) -> dict:
     return headers
 
 
+def _iter_gunzip(data: bytes, chunk: int = 1 << 20,
+                 out_cap: int = 1 << 22) -> Iterator[bytes]:
+    """Streaming multi-member gzip decode: yields bounded decompressed
+    chunks, one member at a time, never materializing the whole
+    archive.  ``out_cap`` bounds each output chunk even against
+    high-ratio members (a gzip bomb inflates in 4 MiB steps, not in
+    one allocation).  A truncated or corrupt member ends the stream —
+    every complete member before it has already been yielded."""
+    pos, n = 0, len(data)
+    view = memoryview(data)
+    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        tail = b""
+        try:
+            while not d.eof:
+                if tail:
+                    feed, tail = tail, b""
+                elif pos < n:
+                    feed = bytes(view[pos:pos + chunk])
+                    pos += len(feed)
+                else:
+                    return  # truncated member: drop its partial tail
+                out = d.decompress(feed, out_cap)
+                if out:
+                    yield out
+                tail = d.unconsumed_tail
+        except zlib.error:
+            return  # corrupt member: keep what we salvaged
+        # bytes fed past the member end belong to the next member
+        pos -= len(d.unused_data)
+
+
+def _iter_records(chunks: Iterator[bytes]) -> Iterator[dict]:
+    """Incremental ISO 28500 record parser over a chunk stream.  The
+    rolling buffer holds at most one in-flight record (plus one input
+    chunk) and is compacted as records are emitted."""
+    buf = bytearray()
+    pos = 0
+    headers: dict | None = None
+    need = 0
+    for c in chunks:
+        buf += c
+        while True:
+            if headers is None:
+                while pos < len(buf) and buf[pos:pos + 1] in (b"\r", b"\n"):
+                    pos += 1
+                if len(buf) - pos < 5:
+                    break  # need more bytes to see the version line
+                if bytes(buf[pos:pos + 5]) != b"WARC/":
+                    return  # not a record boundary: stop parsing
+                hdr_end = buf.find(_CRLF2, pos)
+                if hdr_end < 0:
+                    if len(buf) - pos > _MAX_HEADER:
+                        return
+                    break  # header incomplete: need more bytes
+                headers = _split_headers(bytes(buf[pos:hdr_end]))
+                try:
+                    need = int(headers.get("content-length", "0"))
+                except ValueError:
+                    return
+                pos = hdr_end + 4
+            if len(buf) - pos < need:
+                break  # payload incomplete: need more bytes
+            yield {"headers": headers, "payload": bytes(buf[pos:pos + need])}
+            pos += need
+            headers = None
+            if pos > (1 << 20):  # compact the consumed prefix
+                del buf[:pos]
+                pos = 0
+    if headers is not None:
+        # stream ended mid-payload: a record is better parsed
+        # approximately than dropped (header promised more bytes than
+        # the damaged archive delivered)
+        yield {"headers": headers, "payload": bytes(buf[pos:])}
+
+
 def parse_warc_records(data: bytes) -> Iterator[dict]:
     """Yield {headers, payload} per WARC record. Accepts plain or
-    (multi-member) gzip bytes."""
+    (multi-member) gzip bytes; truncated/corrupt input yields the
+    complete records and drops the damaged tail (never raises)."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record padding
-        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if not data[pos:pos + 5] == b"WARC/":
-            break
-        hdr_end = data.find(_CRLF2, pos)
-        if hdr_end < 0:
-            break
-        headers = _split_headers(data[pos:hdr_end])
-        try:
-            length = int(headers.get("content-length", "0"))
-        except ValueError:
-            break
-        body_start = hdr_end + 4
-        yield {"headers": headers,
-               "payload": data[body_start:body_start + length]}
-        pos = body_start + length
+        chunks: Iterator[bytes] = _iter_gunzip(data)
+    else:
+        chunks = iter((data,))
+    return _iter_records(chunks)
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -101,17 +171,20 @@ def _http_body(payload: bytes) -> tuple[bytes | None, str | None]:
         body = _dechunk(body)
     if headers.get("content-encoding", "").strip() in ("gzip", "x-gzip") \
             and body[:2] == b"\x1f\x8b":
+        # EOFError (truncated stream) and zlib.error are as common as
+        # BadGzipFile in crawl captures — a body is better kept raw
+        # than the record dropped
         try:
             body = gzip.decompress(body)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
             pass
     return body, headers.get("content-type")
 
 
-def warc_bytes_to_pages(data: bytes, html_only: bool = True):
-    """One WARC file's bytes → list of page dicts (url, warc_ts, html).
-    Pure function — shared by the Spark connector and unit tests."""
-    pages = []
+def iter_warc_pages(data: bytes, html_only: bool = True) -> Iterator[dict]:
+    """Stream page dicts (url, warc_ts, html) from one WARC file's
+    bytes — records are decoded and released one at a time, so peak
+    memory is one record, not the file."""
     for rec in parse_warc_records(data):
         h = rec["headers"]
         if h.get("warc-type") != "response":
@@ -126,33 +199,52 @@ def warc_bytes_to_pages(data: bytes, html_only: bool = True):
             ctype = h.get("content-type")
         if html_only and ctype is not None and "html" not in ctype:
             continue
-        pages.append({
+        yield {
             "url": url,
             "warc_ts": pd.Timestamp(h.get("warc-date"))
             .tz_localize(None) if h.get("warc-date") else None,
             "html": body,
-        })
-    return pages
+        }
+
+
+def warc_bytes_to_pages(data: bytes, html_only: bool = True):
+    """One WARC file's bytes → list of page dicts (url, warc_ts, html).
+    Pure function — shared by the Spark connector and unit tests."""
+    return list(iter_warc_pages(data, html_only))
 
 
 def read_warc_pages(spark: SparkSession, path: str,
-                    html_only: bool = True) -> DataFrame:
+                    html_only: bool = True,
+                    batch_rows: int = 256) -> DataFrame:
     """WARC file glob → pages(url, warc_ts, html, text, lang).
 
     `text`/`lang` are NULL here (they come from extract_text /
     lang-id downstream); the columns exist so every source lands on
-    the same input_hint schema."""
+    the same input_hint schema.
+
+    Pages are emitted in ``batch_rows``-sized Arrow batches as the
+    record stream is consumed — a 1 GB Common Crawl segment never
+    materializes all its pages in one pandas frame."""
     files = spark.read.format("binaryFile").load(path)
+    cols = ["url", "warc_ts", "html"]
+
+    def _frame(rows):
+        df = pd.DataFrame(rows, columns=cols)
+        df["text"] = None
+        df["lang"] = None
+        return df
 
     def gen(batches):
         for pdf in batches:
-            out = []
             for content in pdf["content"]:
-                out.extend(warc_bytes_to_pages(bytes(content), html_only))
-            df = pd.DataFrame(out, columns=["url", "warc_ts", "html"])
-            df["text"] = None
-            df["lang"] = None
-            yield df
+                rows = []
+                for page in iter_warc_pages(bytes(content), html_only):
+                    rows.append(page)
+                    if len(rows) >= batch_rows:
+                        yield _frame(rows)
+                        rows = []
+                if rows:
+                    yield _frame(rows)
 
     return files.select("content").mapInPandas(
         gen,

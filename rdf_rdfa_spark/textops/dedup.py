@@ -20,21 +20,43 @@ from ..pipeline.canonicalize import (  # noqa: F401  (re-export)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     max_ids: int | None = 100) -> DataFrame:
     """Hash-groupBy exact dedup: (fingerprint, n_dups, canonical_id,
     dup_ids). Map-side partial aggregation makes this one shuffle of
-    (hash, id) pairs — bytes shuffled ∝ corpus cardinality, not size."""
-    return (
-        docs.select(F.md5(F.col(text_col)).alias("fingerprint"),
-                    F.col(id_col).alias("id"))
-        .groupBy("fingerprint")
-        .agg(
-            F.count("*").alias("n_dups"),
-            F.min("id").alias("canonical_id"),
-            F.sort_array(F.collect_list("id")).alias("dup_ids"),
-        )
+    (hash, id) pairs — bytes shuffled ∝ corpus cardinality, not size.
+
+    ``dup_ids`` is capped at ``max_ids`` members (the full cardinality
+    is always in ``n_dups``): at crawl scale the hottest fingerprint —
+    the empty page — has tens of millions of members, and an unbounded
+    collect_list would build that one multi-GB row in a single
+    non-spillable aggregation buffer.  The cap is enforced BEFORE any
+    list exists, with a row_number window (whose sort spills to disk,
+    unlike an agg buffer) feeding the collect only rows ranked ≤ cap.
+    Pass ``max_ids=None`` for the leanest production plan: counts and
+    canonical ids only, no membership lists at all."""
+    fp = docs.select(F.md5(F.col(text_col)).alias("fingerprint"),
+                     F.col(id_col).alias("id"))
+    agg = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"),
+             F.min("id").alias("canonical_id"))
         .filter(F.col("n_dups") > 1)
     )
+    if max_ids is None:
+        return agg
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(F.col("id").asc())
+    sample = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_ids)
+        .groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_list("id")).alias("dup_ids"))
+    )
+    # both sides hash-partition on fingerprint → co-located join
+    return agg.join(sample, "fingerprint").select(
+        "fingerprint", "n_dups", "canonical_id", "dup_ids")
 
 
 def md5_60bit(t):
@@ -118,12 +140,23 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
             for b in range(4)
         ])).alias("e"),
     ).select("item", "e.blk", "e.val")
+    # referenced twice below (count + collect); lazy barrier avoids
+    # recomputing the signature+explode and feeds AQE real stats
+    blocks = blocks.localCheckpoint(eager=False)
+    # skew guard BEFORE the collect (same pattern as lsh_candidate_pairs
+    # and ngram_jaccard_pairs): pre-count block membership and drop
+    # oversized buckets with a semi-join so the collect_list buffer —
+    # which cannot spill within a single group — never materializes a
+    # hot block's full membership.
+    ok = (blocks.groupBy("blk", "val").agg(F.count("*").alias("n_b"))
+          .filter((F.col("n_b") > 1) & (F.col("n_b") <= max_bucket))
+          .select("blk", "val"))
     buckets = (
-        blocks.groupBy("blk", "val")
+        blocks.join(ok, ["blk", "val"], "left_semi")
+        .groupBy("blk", "val")
         # sort_array on struct(id, simhash) orders by id → pairs below
         # come out with a < b by construction
         .agg(F.sort_array(F.collect_list("item")).alias("items"))
-        .filter((F.size("items") > 1) & (F.size("items") <= max_bucket))
     )
     cand = (
         buckets.select(F.explode(F.expr(

@@ -27,12 +27,44 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase distributed top-k over (qid, vec_id, cosine).
+
+    A single ``row_number() OVER (PARTITION BY qid)`` would hash every
+    scored row to one reducer per query — for a broadcast-join scoring
+    plan each query's partition is the WHOLE corpus sorted on a single
+    task.  Instead: phase 1 ranks within (qid, input partition) — the
+    hot query is salted across P reducers, each sorting ~|corpus|/P
+    narrow 3-column rows (spillable, no hotspot, embeddings never
+    shuffle) — and keeps rank ≤ k.  Phase 2's global window then sees
+    only the |Q|·k·P survivors.  Ties break by vec_id everywhere, so
+    the result is deterministic and identical to the one-phase plan
+    (any global top-k row ranks ≤ k within its own partition)."""
+    local_w = Window.partitionBy("qid", "_part").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    survivors = (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_part")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", "cosine")
+    )
+
+
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
     """Brute-force exact top-k: broadcast the (small) query set against
-    the full vector corpus — one pass over the big side, no shuffle of
-    the corpus; only the per-query top-k heap shuffles (rows = |Q|·k)."""
+    the full vector corpus — one pass over the big side; the embeddings
+    never shuffle.  Ranking is the two-phase top-k of
+    :func:`_topk_per_query`: only narrow (qid, vec_id, cosine) triples
+    shuffle, salted across reducers, and the final per-query sort sees
+    |Q|·k·P rows, not the corpus."""
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -46,12 +78,7 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         .withColumn("cosine", _dot("v", "qv") / (_norm("v") * _norm("qv")))
         .select("qid", "vec_id", "cosine")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)
 
 
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7):
@@ -106,12 +133,9 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         .withColumn("cosine", _dot("v", "qv") / (_norm("v") * _norm("qv")))
         .select("qid", "vec_id", "cosine")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "rank", "cosine")
-    )
+    # two-phase top-k: a hot bucket (many vectors sharing one sign
+    # pattern) would otherwise sort on one reducer per query
+    return _topk_per_query(scored, k)
 
 
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path ------------
@@ -213,12 +237,7 @@ def ivf_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         .select("qid", "vec_id", "cosine")
         .distinct()
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "rank", "cosine")
-    )
+    return _topk_per_query(scored, k)
 
 
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.99,

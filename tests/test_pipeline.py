@@ -781,3 +781,94 @@ def test_bgp_union(spark):
         [(var("d"), "type", "Book")],
     ]).collect()}
     assert got == {"a", "b", "c"}
+
+
+def test_lsh_bucket_cap_applied_before_collect(spark):
+    """A mega-bucket (40 identical docs → every band key shared) must
+    be dropped by the pre-count guard BEFORE collect_list ever sees it:
+    the physical plan carries a count-aggregate + LeftSemi join BELOW
+    the collect_list aggregate, so no reducer materializes a hot
+    bucket's full membership (a single-group agg buffer can't spill)."""
+    tmpl = " ".join("word%02d" % i for i in range(30))
+    docs = spark.createDataFrame([(i, tmpl) for i in range(40)],
+                                 "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs)
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket=8, num_hashes=64)
+    assert capped.count() == 0          # hot bucket (40 > 8) dropped
+    uncapped = dedup.lsh_candidate_pairs(sigs, max_bucket=1 << 40,
+                                         num_hashes=64)
+    assert uncapped.count() == 40 * 39 // 2
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    collect_at = plan.index("collect_list")
+    semi_at = plan.index("LeftSemi")
+    # physical plans print root-first: the guard join must be BELOW
+    # (printed after) the collect aggregate
+    assert semi_at > collect_at, plan
+    assert "count(1)" in plan, plan     # the pre-count side of the guard
+
+
+def test_simhash_bucket_cap_applied_before_collect(spark):
+    tmpl = " ".join("word%02d" % i for i in range(30))
+    docs = spark.createDataFrame([(i, tmpl) for i in range(40)],
+                                 "doc_id long, text string")
+    plan = (dedup.simhash_near_dups(docs, max_bucket=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" in plan, plan
+    assert plan.index("LeftSemi") > plan.index("collect_list"), plan
+
+
+def test_exact_duplicates_hot_fingerprint_bounded(spark):
+    """The hottest fingerprint at crawl scale (the empty page) has
+    millions of members: dup_ids must stay capped while n_dups carries
+    the true cardinality; max_ids=None drops membership lists from the
+    plan entirely."""
+    rows = [(i, "same text") for i in range(300)] + [(1000, "unique")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.exact_duplicates(docs, max_ids=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_dups"] == 300
+    assert r["canonical_id"] == 0
+    assert r["dup_ids"] == list(range(10))   # capped, sorted, smallest-first
+    lean = dedup.exact_duplicates(docs, max_ids=None)
+    assert lean.columns == ["fingerprint", "n_dups", "canonical_id"]
+    assert "collect_list" not in (
+        lean._jdf.queryExecution().executedPlan().toString())
+
+
+def test_topk_is_two_phase(spark):
+    """cosine_topk's ranking must be the two-phase plan: a local
+    row_number partitioned by (qid, input-partition) before the global
+    per-qid window, so no single reducer ever sorts the whole scored
+    corpus for a query."""
+    from rdf_rdfa_spark.textops import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    q = emb.limit(2).selectExpr("vec_id as qid", "embedding as qvec")
+    topk = similarity.cosine_topk(emb, q, k=3)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines()
+               if "Window [row_number()" in ln]
+    assert len(windows) == 2, plan
+    # root-first printing: windows[0] is the global phase (qid only),
+    # windows[1] the local phase partitioned by (qid, _part)
+    assert "_part" in windows[1] and "_part" not in windows[0], plan
+    # Spark 4 inserts a map-side Partial WindowGroupLimit below each
+    # exchange, so BOTH shuffles carry ≤ k rows per (group, mapper):
+    # the full scored corpus never crosses the wire
+    assert plan.count("row_number(), 3, Partial") == 2, plan
+    # and the result equals the one-phase answer
+    import numpy as np
+    rows = topk.collect()
+    assert {r["qid"] for r in rows} == {0, 1}
+    for qid in (0, 1):
+        got = [r["vec_id"] for r in sorted(
+            (r for r in rows if r["qid"] == qid), key=lambda r: r["rank"])]
+        qv = np.array([float(qid), 1.0])
+        vs = np.array([[float(i), 1.0] for i in range(50)])
+        cos = (vs @ qv) / (np.linalg.norm(vs, axis=1) * np.linalg.norm(qv))
+        order = sorted(range(50), key=lambda i: (-cos[i], i))[:3]
+        assert got == order

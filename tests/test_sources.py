@@ -117,3 +117,37 @@ def test_warc_parser_hostile_bytes():
              b"WARC-Target-URI: http://t/\r\nContent-Length: 100000\r\n\r\nhi")
     pages = warc_bytes_to_pages(trunc)
     assert len(pages) == 1 and pages[0]["html"] == b"hi"
+
+
+def test_warc_truncated_gzip_salvages_complete_members():
+    """Common Crawl gzips each record as its own member; a truncated
+    or corrupt .warc.gz must yield every complete member's records
+    instead of aborting the task (EOFError/zlib.error swallowed)."""
+    recs = [_warc_record("response", "http://t.example/%d" % i, _http(HTML1))
+            for i in range(5)]
+    multi = b"".join(gzip.compress(r) for r in recs)
+    assert len(list(parse_warc_records(multi))) == 5
+    # truncate mid-archive: complete members before the cut survive
+    salvaged = list(parse_warc_records(multi[: len(multi) // 2]))
+    assert 1 <= len(salvaged) < 5
+    # corrupt middle member: records before the damage survive
+    bad = (gzip.compress(recs[0]) + b"\x1f\x8b\x08\x00GARBAGEGARBAGE"
+           + gzip.compress(recs[1]))
+    assert len(list(parse_warc_records(bad))) == 1
+    # and the page-level API never raises on either
+    assert warc_bytes_to_pages(multi[: len(multi) // 2])
+    assert warc_bytes_to_pages(bad)
+
+
+def test_warc_streaming_bounded_batches(spark, tmp_path):
+    """read_warc_pages emits pages in bounded Arrow batches while the
+    record stream is consumed — a many-page archive must not require
+    one frame per file (batch_rows caps it)."""
+    recs = [_warc_record("response", "http://b.example/%d" % i, _http(HTML1))
+            for i in range(20)]
+    (tmp_path / "big.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+    pages = read_warc_pages(spark, str(tmp_path) + "/*.warc.gz", batch_rows=4)
+    assert pages.count() == 20
+    urls = {r["url"] for r in pages.select("url").collect()}
+    assert urls == {"http://b.example/%d" % i for i in range(20)}
