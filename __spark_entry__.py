@@ -182,6 +182,23 @@ def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation + solution modifiers over the KG: Articles with a
+    genre that have NO sameAs mirror (SPARQL MINUS → left-anti join),
+    first 100 by (d, g) (ORDER BY + LIMIT → TakeOrderedAndProject,
+    never a global sort)."""
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_select, var
+
+    triples = q_rdfa_extract(spark, sf_dir)
+    return bgp_select(
+        triples,
+        [(var("d"), RDF_TYPE, "http://schema.org/Article"),
+         (var("d"), "http://schema.org/genre", var("g"))],
+        minus=[[(var("d"), "http://schema.org/sameAs", var("m"))]],
+        order_by=["d", "g"], limit=100,
+    )
+
+
 def q_entail_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     abox = _docs(spark, sf_dir).selectExpr(
         "'%s' || doc_id AS subj" % DOC_NS,
@@ -490,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_text_identity": q_rdfa_text_identity,
         "rdfa_processor_counts": q_rdfa_processor_counts,
         "kg_bgp": q_kg_bgp,
+        "kg_bgp_minus": q_kg_bgp_minus,
         "entail_classes": q_entail_classes,
         "entail_props": q_entail_props,
         "entity_link_sameas": q_entity_link_sameas,
@@ -1231,6 +1249,17 @@ LEFT JOIN t p2 ON p2.subj = p1.subj
 WHERE p1.pred = '{rdf_type}' AND p1.obj = 'http://schema.org/Article'
 """
 
+_KG_BGP_MINUS_SQL = """
+WITH t AS ({t})
+SELECT DISTINCT p1.subj AS d, p3.obj AS g
+FROM t p1
+JOIN t p3 ON p3.subj = p1.subj AND p3.pred = 'http://schema.org/genre'
+WHERE p1.pred = '{rdf_type}' AND p1.obj = 'http://schema.org/Article'
+  AND NOT EXISTS (SELECT 1 FROM t p2 WHERE p2.subj = p1.subj
+                  AND p2.pred = 'http://schema.org/sameAs')
+ORDER BY d, g LIMIT 100
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     triples = corpus.triples_oracle_sql()
@@ -1250,6 +1279,8 @@ def oracle_sql() -> dict[str, str]:
         "rdfa_text_identity": "SELECT CAST(NULL AS VARCHAR) AS url WHERE 1=0",
         "rdfa_processor_counts": _PROCESSOR_COUNTS_SQL,
         "kg_bgp": _KG_BGP_SQL.format(t=triples, rdf_type=_RDF_TYPE),
+        "kg_bgp_minus": _KG_BGP_MINUS_SQL.format(t=triples,
+                                                 rdf_type=_RDF_TYPE),
         "entail_classes": _ENTAIL_CLASSES_SQL,
         "entail_props": _ENTAIL_PROPS_SQL,
         "entity_link_sameas": _ENTITY_LINK_SQL,

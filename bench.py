@@ -292,7 +292,64 @@ def run_sf1(sf_dir: str, budget_sec: float | None = None) -> dict:
                 break
         q[key] = round(best, 3)
         out.setdefault("rows", {})[key] = n
+        print("sf1 %s %.1fs rows=%s" % (key, best, n), file=sys.stderr)
     out["queries"] = q
+
+    # --- production-path smoke for the queries whose ORACLES are
+    # intentionally quadratic (exact Jaccard / brute cosine): their
+    # production plans are sub-quadratic, so they can still run at sf1
+    # — recorded as completion + row-count + seconds invariants, which
+    # closes sf1 coverage for all 41 queries (ratios or invariants).
+    # PRODUCTION configurations only: the entry queries for these pin
+    # exhaustive-oracle configs (bands=16 uncapped, brute self-joins)
+    # that exist to make DuckDB replay exact at sf0.01 — running THOSE
+    # at sf1 would bench the oracle, not the engine.
+    Q = E.queries()
+
+    def _prod_clusters():
+        verified = _dedup.minhash_near_dup_pairs(
+            E._dup_corpus(spark, sf1_dir), threshold=0.9)  # auto-bands+cap
+        return _dedup.canonical_clusters(verified)
+
+    def _prod_keep_best():
+        from pyspark.sql import functions as F
+        corpus_df = E._dup_corpus(spark, sf1_dir)
+        clusters = _prod_clusters().select(
+            F.col("id").cast("long").alias("id"),
+            F.col("canonical").cast("long").alias("canonical"))
+        scores = corpus_df.select(
+            F.col("doc_id").alias("id"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("score"))
+        return _dedup.keep_best_per_cluster(clusters, scores)
+
+    smoke_jobs = [  # cheapest first, so a tight budget still covers most
+        ("dedup_exact", lambda: Q["dedup_exact"](spark, sf1_dir).count()),
+        ("dedup_clusters_prod", lambda: _prod_clusters().count()),
+        ("dedup_keep_best_prod", lambda: _prod_keep_best().count()),
+        ("dedup_ngram_capped", lambda: _dedup.ngram_jaccard_pairs(
+            E._dup_corpus(spark, sf1_dir), n=3, threshold=0.8).count()),
+        ("emb_near_dup_lsh",
+         lambda: Q["emb_near_dup_lsh"](spark, sf1_dir).count()),
+        ("ann_lsh_topk", lambda: Q["ann_lsh_topk"](spark, sf1_dir).count()),
+        ("ann_cosine_topk",
+         lambda: Q["ann_cosine_topk"](spark, sf1_dir).count()),
+        ("ann_ivf_topk", lambda: Q["ann_ivf_topk"](spark, sf1_dir).count()),
+    ]
+    smoke_budget = float(os.environ.get("SPARK_GRAFT_SF1_SMOKE_BUDGET", "150"))
+    t_smoke = time.time()
+    smoke: dict = {}
+    for key, fn in smoke_jobs:
+        if time.time() - t_smoke > smoke_budget:
+            smoke[key] = {"skipped": "budget"}
+            continue
+        t0 = time.time()
+        try:
+            n = fn()
+            smoke[key] = {"rows": n, "sec": round(time.time() - t0, 3)}
+        except Exception as e:  # record, never abort the artifact
+            smoke[key] = {"error": "%s: %s" % (type(e).__name__, str(e)[:120])}
+        print("sf1 smoke %s %s" % (key, smoke[key]), file=sys.stderr)
+    out["smoke"] = smoke
     spark.stop()
     return out
 

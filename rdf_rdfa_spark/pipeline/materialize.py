@@ -58,6 +58,11 @@ def read_triples(spark, root: str, snapshot: int | None = None) -> DataFrame:
             m = json.load(fh)
         files.update(m["files_added"])
         files.difference_update(m.get("files_removed", ()))
+    # compaction physically expires replaced files, so a
+    # pre-compaction snapshot read is PARTIAL (exactly as after an
+    # Iceberg expire_snapshots): scan only the manifest files that
+    # still exist instead of failing at scan time
+    files = {f for f in files if os.path.exists(os.path.join(tdir, f))}
     if not files:
         return spark.read.parquet(tdir).limit(0)
     return spark.read.option("basePath", tdir).parquet(
@@ -104,6 +109,23 @@ def current_snapshot(root: str) -> int:
         return 0
     with open(head_path) as fh:
         return int(fh.read().strip() or 0)
+
+
+def _tracked_files(root: str) -> set:
+    """Every data file any committed snapshot still considers live."""
+    sdir = os.path.join(root, "_snapshots")
+    files: set[str] = set()
+    if not os.path.isdir(sdir):
+        return files
+    for n in range(1, current_snapshot(root) + 1):
+        path = os.path.join(sdir, "v%d.json" % n)
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            m = json.load(fh)
+        files.update(m["files_added"])
+        files.difference_update(m.get("files_removed", ()))
+    return files
 
 
 def _chunk_col(buckets_or_chunks: int):
@@ -234,9 +256,17 @@ def stream_materialize(spark, input_dir: str, root: str,
     partitioned store via foreachBatch — each micro-batch appends and
     commits one snapshot (chunk = the batch id), so the store stays
     time-travelable and lineage'd whether it was built by batch chunks,
-    streaming micro-batches, or both. The stream checkpoint makes each
-    batch exactly-once; the snapshot commit runs inside foreachBatch
-    AFTER the parquet append returns, mirroring the batch protocol."""
+    streaming micro-batches, or both.
+
+    foreachBatch is AT-LEAST-once: a crash between the parquet append
+    and the snapshot commit replays the batch, which would leave the
+    crashed attempt's files visible to plain reads but recorded in no
+    manifest.  Each batch therefore starts by sweeping untracked data
+    files (present on disk, live in no snapshot) before appending —
+    with that reconciliation the store is exactly-once per batch.
+    This assumes the snapshot protocol owns the store (both ingest
+    paths commit manifests; don't mix in bare write_triples calls
+    while a stream is running)."""
     from .schema import PAGES_SCHEMA
 
     os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
@@ -245,6 +275,12 @@ def stream_materialize(spark, input_dir: str, root: str,
         triples = extract_triples(batch_df, **extract_kw).cache()
         n = triples.count()
         tdir = os.path.join(root, "triples")
+        # reconcile a crashed previous attempt: delete data files no
+        # committed snapshot tracks (they can only be the replayed
+        # batch's half-appended output)
+        if os.path.isdir(tdir):
+            for rel in _store_files(tdir) - _tracked_files(root):
+                os.remove(os.path.join(tdir, rel))
         before = _store_files(tdir) if os.path.isdir(tdir) else set()
         write_triples(triples, root, buckets=buckets)
         triples.unpersist()

@@ -59,13 +59,26 @@ class Comment:
 
 
 class Element:
-    __slots__ = ("name", "attrs", "children", "parent")
+    __slots__ = ("name", "attrs", "children", "parent", "_ec", "_rel",
+                 "_own", "_doc_itemscope")
 
     def __init__(self, name: str, attrs: dict, parent=None):
         self.name = name
         self.attrs = attrs
         self.children: list = []  # str | Element | Comment
         self.parent = parent
+        self._ec = None  # element_children cache (tree is static post-parse)
+        # subtree RDFa-relevance: True when this subtree contains any
+        # element the walker must visit.  Defaults True (never prune a
+        # hand-built tree); the tree builders set it precisely.
+        self._rel = True
+        # OWN relevance (the walker's _inert criterion, precomputed at
+        # build time from the same attribute set).  True default =
+        # hand-built trees get full processing.
+        self._own = True
+        # _doc_itemscope: set by parse_html on the ROOT only (builder-
+        # computed microdata flag); deliberately left unassigned here
+        # so non-root elements pay no init cost.
 
     # --- NodeProxy facade -------------------------------------------
     def attribute(self, name: str):
@@ -84,7 +97,14 @@ class Element:
         return self.attrs.get("xml:base")
 
     def element_children(self):
-        return [c for c in self.children if isinstance(c, Element)]
+        # cached: the walker visits every element's children at least
+        # twice (inert fast path + microdata/subtree scans), and the
+        # tree never mutates after parse_html returns
+        ec = self._ec
+        if ec is None:
+            ec = self._ec = [c for c in self.children
+                             if c.__class__ is Element]
+        return ec
 
     def text_content(self) -> bool:
         """True if all children are text nodes (nokogiri.rb:69-73)."""
@@ -254,6 +274,26 @@ def _eof_closer(text: str) -> str:
         pos = end + len(closer)
 
 
+# attributes that force full per-element RDFa processing (the walker's
+# _inert criterion).  Relevance is computed at BUILD time — cached per
+# unique start-tag string and propagated to ancestors — so the walker
+# can skip whole subtrees that contain none of these anywhere.
+WALK_RELEVANT_ATTRS = frozenset(
+    "about content datatype datetime href id inlist property rel "
+    "resource rev role src typeof value vocab prefix lang".split()
+) | {"xml:lang", "xml:base", "xmlns"}
+_WALK_RELEVANT_NAMES = frozenset(("script", "head", "body"))
+
+
+def _own_relevance(tag: str, attrd: dict) -> bool:
+    if tag in _WALK_RELEVANT_NAMES:
+        return True
+    for k in attrd:
+        if k in WALK_RELEVANT_ATTRS or k.startswith("xmlns:"):
+            return True
+    return False
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -263,6 +303,9 @@ class _TreeBuilder(HTMLParser):
         # malformed-markup messages, surfaced like Nokogiri doc.errors
         # (reader.rb:346 joins the unique messages into one error row)
         self.errors: list[str] = []
+        # any element carries @itemscope (microdata islands present) —
+        # computed here so the walker needn't re-scan the whole tree
+        self.has_itemscope = False
 
     # -- helpers --
     def _append(self, node):
@@ -274,6 +317,13 @@ class _TreeBuilder(HTMLParser):
     def handle_decl(self, decl):
         if not self.doctype:
             self.doctype = "<!%s>" % decl
+
+    @staticmethod
+    def _mark_relevant(el):
+        node = el
+        while node is not None and not node._rel:
+            node._rel = True
+            node = node.parent
 
     def handle_starttag(self, tag, attrs):
         # implied end tags
@@ -291,6 +341,13 @@ class _TreeBuilder(HTMLParser):
                 attrd[k] = v if v is not None else ""
         parent = self.stack[-1] if self.stack else None
         el = Element(tag, attrd, parent)
+        el._rel = False
+        if _own_relevance(tag, attrd):
+            self._mark_relevant(el)
+        else:
+            el._own = False
+        if "itemscope" in attrd:
+            self.has_itemscope = True
         self._append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
@@ -301,7 +358,15 @@ class _TreeBuilder(HTMLParser):
             if k not in attrd:
                 attrd[k] = v if v is not None else ""
         parent = self.stack[-1] if self.stack else None
-        self._append(Element(tag, attrd, parent))
+        el = Element(tag, attrd, parent)
+        el._rel = False
+        if _own_relevance(tag, attrd):
+            self._mark_relevant(el)
+        else:
+            el._own = False
+        if "itemscope" in attrd:
+            self.has_itemscope = True
+        self._append(el)
 
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:
@@ -374,16 +439,19 @@ def parse_html(text: str, html_host: bool = True, fast: bool = True):
         root = next((n for n in nodes if isinstance(n, Element)), None)
         if root is None:
             root = Element("html", {})
-        _reparent(root, None)
+        root.parent = None  # builder set all other parents at creation
+        root._doc_itemscope = tb.has_itemscope
         return root, tb.doctype, tb.errors
     html = next(
         (n for n in nodes if isinstance(n, Element) and n.name == "html"), None
     )
+    restructured = False
     if html is None:
         html = Element("html", {})
         html.children = [
             n for n in nodes if isinstance(n, Element) or (isinstance(n, str) and n.strip())
         ]
+        restructured = True
     has_body = any(
         isinstance(c, Element) and c.name in ("body", "frameset")
         for c in html.children
@@ -409,7 +477,14 @@ def parse_html(text: str, html_host: bool = True, fast: bool = True):
                 moved = True
         new_children.append(body)
         html.children = new_children
-    _reparent(html, None)
+        restructured = True
+    if restructured:
+        _reparent(html, None)
+    else:
+        # the builder set every parent at creation time; only the
+        # root's parent needs pinning when nothing moved
+        html.parent = None
+    html._doc_itemscope = tb.has_itemscope
     return html, tb.doctype, tb.errors
 
 
@@ -545,6 +620,18 @@ _FAST_TOKEN = re.compile(
     r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*?)(?P<selfclose>/?)>",
     re.S,
 )
+# dispatch-split variants of _FAST_TOKEN (same token grammar; the
+# scanner picks one by the character after '<' instead of running the
+# 6-way alternation per token)
+_FAST_START_TOK = re.compile(
+    r"<([A-Za-z][^\t\n\r\f />]*)"
+    r"((?:\"[^\"]*\"|'[^']*'|[^>])*?)(/?)>", re.S)
+_FAST_END_TOK = re.compile(r"</([A-Za-z][^\s>]*)\s*>")
+_FAST_BANG_TOK = re.compile(
+    r"<!--(.*?)(?:-->|$)"
+    r"|<!\[CDATA\[(.*?)(?:\]\]>|$)"
+    r"|<!([^>]*)>", re.S)
+_FAST_PI_TOK = re.compile(r"<\?[^>]*>")
 _FAST_ATTR = re.compile(
     r"([^\s=/>]+)(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?",
     re.S,
@@ -557,62 +644,192 @@ _unescape = _html_mod.unescape
 
 
 def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
+    # The _TreeBuilder handler methods are inlined here (same handler
+    # semantics, enforced by the fast≡stdlib equivalence fuzz): on real
+    # pages the per-token method dispatch and the attrs list→dict
+    # double pass were ~25% of tokenizer time.
     pos, n = 0, len(text)
+    stack = tb.stack
+    root_children = tb.root_children
+    find = text.find
+    start_match = _FAST_START_TOK.match
+    end_match = _FAST_END_TOK.match
+    bang_match = _FAST_BANG_TOK.match
+    pi_match = _FAST_PI_TOK.match
+    attr_finditer = _FAST_ATTR.finditer
+    closes_get = _CLOSES.get
+    rawtext_get = _RAWTEXT_CLOSE.get
+    # template-heavy pages repeat identical start-tag strings ~3x
+    # (measured on the reference example corpus): memoize the parsed
+    # (tag, attrs, selfclose) per raw token — a dict copy is ~10x
+    # cheaper than re-running the attribute regex
+    tag_cache: dict = {}
+    tag_cache_get = tag_cache.get
     while pos < n:
-        lt = text.find("<", pos)
-        if lt < 0:
-            data = text[pos:]
+        lt = find("<", pos)
+        if lt != pos:
+            data = text[pos:] if lt < 0 else text[pos:lt]
             if data:
-                tb.handle_data(_unescape(data) if "&" in data else data)
-            break
-        if lt > pos:
-            data = text[pos:lt]
-            tb.handle_data(_unescape(data) if "&" in data else data)
-        m = _FAST_TOKEN.match(text, lt)
+                if "&" in data:
+                    data = _unescape(data)
+                # inline handle_data: coalesce adjacent text nodes
+                if stack:
+                    ch = stack[-1].children
+                    if ch and ch[-1].__class__ is str:
+                        ch[-1] += data
+                    else:
+                        ch.append(data)
+                else:
+                    root_children.append(data)
+            if lt < 0:
+                break
+        # dispatch on the character after '<' — each token class runs
+        # its own small regex instead of the 6-way alternation
+        c = text[lt + 1 : lt + 2]
+        m = None
+        kind = 0
+        if c:
+            if c.isalpha():
+                m = start_match(text, lt)
+                kind = 1
+            elif c == "/":
+                m = end_match(text, lt)
+                kind = 2
+            elif c == "!":
+                m = bang_match(text, lt)
+                kind = 3
+            elif c == "?":
+                m = pi_match(text, lt)
+                kind = 4
         if m is None:
             # stray '<' that opens no token: emit as text. A '<' that
             # LOOKS like a tag opener but never terminates is the
             # malformed-markup signal Nokogiri reports as a doc error.
-            nxt = text[lt + 1 : lt + 2]
-            if nxt and (nxt.isalpha() or nxt in "/!"):
+            if c and (c.isalpha() or c in "/!"):
                 tb.errors.append(
                     "malformed tag at offset %d: %r" % (lt, text[lt : lt + 24]))
-            tb.handle_data("<")
+            if stack:
+                ch = stack[-1].children
+                if ch and ch[-1].__class__ is str:
+                    ch[-1] += "<"
+                else:
+                    ch.append("<")
+            else:
+                root_children.append("<")
             pos = lt + 1
             continue
         pos = m.end()
-        # one C-level groups() call per token instead of repeated
-        # named-group lookups (group order mirrors _FAST_TOKEN)
-        (comment, cdata, decl, pi, end_tag, start_tag, raw_attrs,
-         selfclose) = m.groups()
-        if start_tag is not None:
-            tag = start_tag.lower()
-            attrs = []
-            for am in _FAST_ATTR.finditer(raw_attrs or ""):
-                name, _q, v1, v2, v3 = am.groups()
-                val = v1 if v1 is not None else (v2 if v2 is not None else v3)
-                if val is None:
-                    val = ""
-                elif "&" in val:
-                    val = _unescape(val)
-                attrs.append((name.lower(), val))
-            if selfclose:
-                tb.handle_startendtag(tag, attrs)
+        if kind == 1:
+            raw = text[lt:pos]
+            cached = tag_cache_get(raw)
+            if cached is None:
+                start_tag, raw_attrs, selfclose = m.groups()
+                tag = start_tag.lower()
+                # attrs dict built directly (first declaration wins)
+                tmpl: dict = {}
+                if raw_attrs:
+                    for am in attr_finditer(raw_attrs):
+                        name, _q, v1, v2, v3 = am.groups()
+                        val = v1 if v1 is not None else (
+                            v2 if v2 is not None else v3)
+                        if val is None:
+                            val = ""
+                        elif "&" in val:
+                            val = _unescape(val)
+                        name = name.lower()
+                        if name not in tmpl:
+                            tmpl[name] = val
+                rel = _own_relevance(tag, tmpl)
+                iscope = "itemscope" in tmpl
+                tag_cache[raw] = (tag, tmpl, selfclose, rel, iscope)
             else:
-                tb.handle_starttag(tag, attrs)
-                closer = _RAWTEXT_CLOSE.get(tag)
+                tag, tmpl, selfclose, rel, iscope = cached
+            if iscope:
+                tb.has_itemscope = True
+            # SHARED attrs dict across identical start tags: nothing
+            # mutates Element.attrs after the build (c14n_children
+            # copies before it merges), so identical tags can alias
+            # one dict — keep it that way
+            attrd = tmpl
+            if selfclose:
+                # handle_startendtag semantics: no implied end tags,
+                # never pushed
+                parent = stack[-1] if stack else None
+                el = Element(tag, attrd, parent)
+                if parent is not None:
+                    parent.children.append(el)
+                else:
+                    root_children.append(el)
+                el._rel = False
+                if rel:
+                    node = el
+                    while node is not None and not node._rel:
+                        node._rel = True
+                        node = node.parent
+                else:
+                    el._own = False
+                continue
+            # handle_starttag semantics: implied end tags first
+            close = closes_get(tag)
+            if close:
+                while stack and stack[-1].name in close:
+                    stack.pop()
+            if tag == "body":
+                # body start implies head is closed
+                while stack and stack[-1].name != "html":
+                    stack.pop()
+            parent = stack[-1] if stack else None
+            el = Element(tag, attrd, parent)
+            if parent is not None:
+                parent.children.append(el)
+            else:
+                root_children.append(el)
+            el._rel = False
+            if rel:
+                # propagate subtree relevance to ancestors (stops at
+                # the first already-marked one — amortized O(1))
+                node = el
+                while node is not None and not node._rel:
+                    node._rel = True
+                    node = node.parent
+            else:
+                el._own = False
+            if tag not in VOID_ELEMENTS:
+                stack.append(el)
+                closer = rawtext_get(tag)
                 if closer is not None:
                     cm = closer.search(text, pos)
                     end = cm.start() if cm else n
                     if end > pos:
-                        tb.handle_data(text[pos:end])  # raw, no unescape
+                        el.children.append(text[pos:end])  # raw, no unescape
                     pos = end
-        elif end_tag is not None:
-            tb.handle_endtag(end_tag.lower())
-        elif comment is not None:
-            tb.handle_comment(comment)
-        elif cdata is not None:
-            tb.unknown_decl("CDATA[" + cdata)
-        elif decl is not None:
-            tb.handle_decl(decl)
-        # pi: dropped (html.parser does the same for our purposes)
+        elif kind == 2:
+            tag = m.group(1).lower()
+            if tag not in VOID_ELEMENTS:
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i].name == tag:
+                        del stack[i:]
+                        break
+                # unmatched end tag: ignored (HTML5 recovery)
+        elif kind == 3:
+            comment, cdata, decl = m.groups()
+            if comment is not None:
+                node = Comment(comment)
+                if stack:
+                    stack[-1].children.append(node)
+                else:
+                    root_children.append(node)
+            elif cdata is not None:
+                # CDATA payload is raw text (never unescaped)
+                if cdata:
+                    if stack:
+                        ch = stack[-1].children
+                        if ch and ch[-1].__class__ is str:
+                            ch[-1] += cdata
+                        else:
+                            ch.append(cdata)
+                    else:
+                        root_children.append(cdata)
+            else:
+                tb.handle_decl(decl)
+        # kind 4 (processing instruction): dropped, as html.parser does

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import re
 
-from . import jsonld, microdata, rdfxml
+from . import csvw, jsonld, microdata, rdfxml
 from . import resolve as R
 from .contexts import initial_context
 from .dom import Element, c14n_children, parse_html, detect_host_language_version, decode_html
@@ -135,6 +135,14 @@ class EvaluationContext:
         self.default_vocabulary = host_defaults.get("vocabulary")
         self.list_mapping = None
 
+    @classmethod
+    def _child(cls):
+        """Uninitialized instance for the walker's step-13 child-EC
+        build: every slot is assigned explicitly there, so skipping
+        __init__ (an iri() call + two dict copies per element) is
+        pure saving on the hot path."""
+        return cls.__new__(cls)
+
 
 class RdfaWalker:
     def __init__(
@@ -163,6 +171,9 @@ class RdfaWalker:
         # (reader.rb:294,534-556: fires even when the processor graph
         # is not among the requested output graphs)
         self.processor_callback = processor_callback
+        # hoisted per-document: version never changes mid-walk
+        self._rel_restr = R.TERMorCURIEorAbsIRI[version]
+        self._res_restr = R.SAFECURIEorCURIEorIRI[version]
 
         self.triples: dict = {}  # ordered set of (subj, pred, obj) term tuples
         # per-document URI-resolution memo: template pages repeat the
@@ -357,7 +368,10 @@ class RdfaWalker:
         # (it IS in the reference's own Gemfile/spec env — default ON);
         # microdata=False mirrors a stock install's LoadError path,
         # which only logs the drop
-        if self._subtree_has(root, lambda el: "itemscope" in el.attrs):
+        has_itemscope = getattr(root, "_doc_itemscope", None)
+        if has_itemscope is None:  # hand-built tree: fall back to a scan
+            has_itemscope = self._any_itemscope(root)
+        if has_itemscope:
             if self.microdata:
                 try:
                     for s, p, o in microdata.extract_microdata(
@@ -418,6 +432,18 @@ class RdfaWalker:
             for t in new:
                 self.triples[t] = None
                 added = True
+
+    @staticmethod
+    def _any_itemscope(root: Element) -> bool:
+        # specialized _subtree_has (runs on every parse; a lambda
+        # predicate costs a Python call per element)
+        stack = [root]
+        while stack:
+            el = stack.pop()
+            if "itemscope" in el.attrs:
+                return True
+            stack.extend(el.element_children())
+        return False
 
     @staticmethod
     def _subtree_has(root: Element, pred) -> bool:
@@ -494,18 +520,21 @@ class RdfaWalker:
 
     # --- the 14 steps ---------------------------------------------------
     # attributes that force the full per-element processing; anything
-    # else (class/style/width/...) cannot change the evaluation context
-    _RELEVANT_ATTRS = frozenset(
-        "about content datatype datetime href id inlist property rel "
-        "resource rev role src typeof value vocab prefix lang".split()
-    ) | {"xml:lang", "xml:base", "xmlns"}
+    # else (class/style/width/...) cannot change the evaluation context.
+    # Single source shared with the DOM builders, which precompute
+    # subtree relevance from it (dom._own_relevance).
+    from .dom import WALK_RELEVANT_ATTRS as _RELEVANT_ATTRS
 
     def _inert(self, element: Element) -> bool:
         """True when the element can neither emit triples nor change
         the child evaluation context — the dominant case on real web
         pages. Mirrors the reference's skip+reused-ec fast path
-        (reader.rb:1302-1322) but decided upfront, skipping the dict
-        clones entirely."""
+        (reader.rb:1302-1322).  The criterion (dom._own_relevance) is
+        precomputed by the tree builders into ``_own``; the attribute
+        scan below only runs for hand-built trees (``_own`` defaults
+        True there, forcing the full check)."""
+        if not element._own:
+            return True
         if element.name in ("script", "head", "body"):
             return False
         a = element.attrs
@@ -518,6 +547,10 @@ class RdfaWalker:
         return True
 
     def _traverse(self, root: Element, root_ec: EvaluationContext):
+        # children whose whole subtree holds no walker-relevant
+        # element (build-time `_rel` flag) are pruned outright — on
+        # real pages most of the DOM is text formatting that can
+        # neither emit triples nor change any descendant's context
         stack = [("enter", root, root_ec)]
         while stack:
             frame = stack.pop()
@@ -526,14 +559,16 @@ class RdfaWalker:
                 if element is not root and self._inert(element):
                     # pure pass-through: children inherit ec unchanged
                     for child in reversed(element.element_children()):
-                        stack.append(("enter", child, ec))
+                        if child._rel:
+                            stack.append(("enter", child, ec))
                     continue
                 exit_rec = self._enter(element, ec, root)
                 if exit_rec is not None:
                     new_ec, record = exit_rec
                     stack.append(("exit", record))
                     for child in reversed(element.element_children()):
-                        stack.append(("enter", child, new_ec))
+                        if child._rel:
+                            stack.append(("enter", child, new_ec))
             else:
                 self._exit(frame[1])
 
@@ -618,17 +653,19 @@ class RdfaWalker:
         if element.name == "script":
             self._extract_script(element, base, attrs.get("type"))
 
-        rel_restr = R.TERMorCURIEorAbsIRI[version]
-        res_restr = R.SAFECURIEorCURIEorIRI[version]
-
-        rels = self.process_uris(element, attrs.get("rel"), base, rel_restr,
-                                 uri_mappings, term_mappings, default_vocabulary,
-                                 ec.parent_subject)
-        revs = self.process_uris(element, attrs.get("rev"), base, rel_restr,
-                                 uri_mappings, term_mappings, default_vocabulary,
-                                 ec.parent_subject)
+        rel_restr = self._rel_restr
+        res_restr = self._res_restr
 
         has_rel_rev = "rel" in attrs or "rev" in attrs
+        if has_rel_rev:
+            rels = self.process_uris(
+                element, attrs.get("rel"), base, rel_restr, uri_mappings,
+                term_mappings, default_vocabulary, ec.parent_subject)
+            revs = self.process_uris(
+                element, attrs.get("rev"), base, rel_restr, uri_mappings,
+                term_mappings, default_vocabulary, ec.parent_subject)
+        else:
+            rels = revs = []
         is_head_body = host in _HTML_HOSTS and element.name in ("head", "body")
 
         def res_uri(value):
@@ -823,7 +860,7 @@ class RdfaWalker:
                     and list_mapping is ec.list_mapping):
                 new_ec = ec
             else:
-                new_ec = EvaluationContext(base, self.host_defaults)
+                new_ec = EvaluationContext._child()
                 new_ec.parent_subject = ec.parent_subject
                 new_ec.parent_object = ec.parent_object
                 new_ec.incomplete_triples = ec.incomplete_triples
@@ -835,7 +872,8 @@ class RdfaWalker:
                 new_ec.default_vocabulary = default_vocabulary
                 new_ec.list_mapping = list_mapping
         else:
-            new_ec = EvaluationContext(base, self.host_defaults)
+            new_ec = EvaluationContext._child()
+            new_ec.base = base
             new_ec.parent_subject = new_subject if new_subject is not None else ec.parent_subject
             new_ec.parent_object = (
                 current_object_resource if current_object_resource is not None
@@ -1044,8 +1082,21 @@ class RdfaWalker:
             except Exception as e:
                 self.add_error(element, "embedded %s parse error: %s" % (stype, e))
         elif stype == "application/csvm+json":
-            self.add_warning(element,
-                             "embedded %s script skipped (no reader)" % stype)
+            # reference parity: with the optional rdf-tabular gem the
+            # reference maps the CSVW metadata; our csvw module emits
+            # the metadata-side triples and flags the unfetched CSV
+            # row data (offline posture, like vocabulary expansion)
+            try:
+                ts, warns = csvw.parse_csvw_metadata(
+                    text, base, self.bnode, self._initial_prefixes)
+            except csvw.CsvwParseError as e:
+                self.add_error(element, "embedded %s parse error: %s"
+                               % (stype, e))
+                return
+            for (s, p, o) in ts:
+                self.add_triple(s, p, o)
+            for msg in warns:
+                self.add_warning(element, msg)
 
 
 def parse_rdfa(html, url=None, host_language=None, version=None,

@@ -872,3 +872,109 @@ def test_topk_is_two_phase(spark):
         cos = (vs @ qv) / (np.linalg.norm(vs, axis=1) * np.linalg.norm(qv))
         order = sorted(range(50), key=lambda i: (-cos[i], i))[:3]
         assert got == order
+
+
+def test_bgp_negation_and_modifiers(spark):
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_ask, bgp_select, var
+
+    triples = spark.createDataFrame(
+        [("a", "type", "Doc"), ("b", "type", "Doc"), ("c", "type", "Doc"),
+         ("a", "label", "A"), ("b", "label", "B"), ("c", "label", "C"),
+         ("a", "mirror", "m1"), ("x", "other", "y")],
+        "subj string, pred string, obj string")
+    base = [(var("d"), "type", "Doc"), (var("d"), "label", var("l"))]
+    # MINUS: docs WITHOUT a mirror (the "which subjects have NO label"
+    # class of question)
+    got = {r["d"] for r in bgp_select(
+        triples, base,
+        minus=[[(var("d"), "mirror", var("m"))]]).collect()}
+    assert got == {"b", "c"}
+    # MINUS with a disjoint group removes nothing (SPARQL spec)...
+    assert bgp_select(
+        triples, base,
+        minus=[[(var("z"), "other", var("w"))]]).count() == 3
+    # ...while NOT EXISTS with a disjoint matching group removes all
+    assert bgp_select(
+        triples, base,
+        not_exists=[[(var("z"), "other", var("w"))]]).count() == 0
+    assert bgp_select(
+        triples, base,
+        not_exists=[[(var("d"), "mirror", var("m"))]]).count() == 2
+    # ORDER BY + LIMIT compile to TakeOrderedAndProject (top-k merge,
+    # no global sort of the solution set)
+    top = bgp_select(triples, base, order_by=["d"], limit=2)
+    assert [r["d"] for r in top.collect()] == ["a", "b"]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # ASK
+    assert bgp_ask(triples, [(var("d"), "mirror", var("m"))])
+    assert not bgp_ask(triples, [(var("d"), "nope", var("m"))])
+
+
+def test_bgp_optional_rejects_optional_only_shared_vars(spark):
+    """A later OPTIONAL sharing a variable bound only by an earlier
+    OPTIONAL must raise: NULL join keys silently diverge from SPARQL's
+    unbound-is-compatible semantics."""
+    import pytest as _pytest
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_select, var
+
+    triples = spark.createDataFrame(
+        [("a", "type", "Doc"), ("a", "mirror", "m1"), ("m1", "label", "L")],
+        "subj string, pred string, obj string")
+    with _pytest.raises(ValueError, match="earlier OPTIONAL"):
+        bgp_select(
+            triples, [(var("d"), "type", "Doc")],
+            optional=[[(var("d"), "mirror", var("m"))],
+                      [(var("m"), "label", var("ml"))]])
+
+
+def test_stream_materialize_reconciles_orphan_files(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: files appended by a crashed
+    attempt (on disk, in no manifest) must be swept when the batch
+    replays, so plain reads and snapshot reads agree afterwards."""
+    import glob
+    import shutil
+
+    root = str(tmp_path / "store")
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    pages = corpus.pages_df(spark, sf_dir).limit(40)
+    pages.write.parquet(os.path.join(inp, "batch0"))
+    q = materialize.stream_materialize(
+        spark, inp + "/*", root, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    tracked = materialize.read_triples(spark, root).count()
+    # simulate a crashed attempt: copy a data file to an untracked name
+    some = glob.glob(os.path.join(root, "triples", "graph=*", "bucket=*",
+                                  "*.parquet"))[0]
+    orphan = os.path.join(os.path.dirname(some), "part-orphan.c000.parquet")
+    shutil.copyfile(some, orphan)
+    assert materialize.read_triples(spark, root).count() > tracked
+    # next stream batch reconciles before appending
+    pages.write.parquet(os.path.join(inp, "batch1"))
+    q2 = materialize.stream_materialize(
+        spark, inp + "/*", root, str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert not os.path.exists(orphan)
+    plain = materialize.read_triples(spark, root).count()
+    snap = materialize.read_triples(
+        spark, root, snapshot=materialize.current_snapshot(root)).count()
+    assert plain == snap == 2 * tracked
+
+
+def test_precompaction_snapshot_read_is_partial(spark, sf_dir, tmp_path):
+    """After compaction expires replaced files, reading an OLD snapshot
+    returns the still-existing subset (documented partial time travel,
+    like Iceberg after expire_snapshots) instead of failing at scan."""
+    root = str(tmp_path / "store")
+    pages = corpus.pages_df(spark, sf_dir).limit(40)
+    materialize.materialize_resumable(pages, root, chunks=2)
+    pre = materialize.current_snapshot(root)
+    full = materialize.read_triples(spark, root, snapshot=pre).count()
+    materialize.compact_store(spark, root)
+    # the old snapshot still reads (possibly partial), never raises
+    partial = materialize.read_triples(spark, root, snapshot=pre).count()
+    assert 0 <= partial <= full
+    # the compacted head sees everything
+    head = materialize.current_snapshot(root)
+    assert materialize.read_triples(spark, root, snapshot=head).count() == full
