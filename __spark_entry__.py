@@ -199,6 +199,42 @@ def q_kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path over the KG: ``x basedOn+ y`` — transitive
+    closure by distributed iterative doubling (log-diameter rounds,
+    one shuffle per round, lazy localCheckpoint lineage barriers).
+    Docs chain within decades (doc_id %% 10 boundaries), so the
+    closure output scales LINEARLY with the corpus (45 pairs per
+    decade), not quadratically — oracled against a DuckDB recursive
+    CTE."""
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_select, one_or_more, var
+
+    abox = (
+        _docs(spark, sf_dir)
+        .filter("doc_id % 10 != 0 AND doc_id > 0")
+        .selectExpr(
+            "'%s' || doc_id AS subj" % DOC_NS,
+            "'%sbasedOn' AS pred" % PROP_NS,
+            "'%s' || (doc_id - 1) AS obj" % DOC_NS,
+        )
+    )
+    return bgp_select(
+        abox, [(var("x"), one_or_more(PROP_NS + "basedOn"), var("y"))])
+
+
+def q_kg_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregate over the KG: Articles per genre (GROUP BY +
+    COUNT over the distinct solution set; map-side partial agg)."""
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_aggregate, var
+
+    triples = q_rdfa_extract(spark, sf_dir)
+    return bgp_aggregate(
+        triples,
+        [(var("d"), RDF_TYPE, "http://schema.org/Article"),
+         (var("d"), "http://schema.org/genre", var("g"))],
+        group_by=["g"], aggs={"n_docs": F.count("*")})
+
+
 def q_entail_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     abox = _docs(spark, sf_dir).selectExpr(
         "'%s' || doc_id AS subj" % DOC_NS,
@@ -508,6 +544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_processor_counts": q_rdfa_processor_counts,
         "kg_bgp": q_kg_bgp,
         "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_bgp_path": q_kg_bgp_path,
+        "kg_bgp_agg": q_kg_bgp_agg,
         "entail_classes": q_entail_classes,
         "entail_props": q_entail_props,
         "entity_link_sameas": q_entity_link_sameas,
@@ -562,6 +600,28 @@ SELECT subj, '{t}', '{cls}Document' FROM abox
 UNION
 SELECT subj, '{t}', '{cls}primary' FROM abox WHERE grp = 0
 """.format(doc=DOC_NS, cls=CLASS_NS, t=_RDF_TYPE)
+
+_KG_BGP_PATH_SQL = """
+WITH RECURSIVE e AS (
+  SELECT '{doc}' || doc_id AS s, '{doc}' || (doc_id - 1) AS o
+  FROM documents WHERE doc_id % 10 <> 0 AND doc_id > 0
+), p AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT p.s, e.o FROM p JOIN e ON p.o = e.s
+)
+SELECT s AS x, o AS y FROM p
+""".format(doc=DOC_NS)
+
+_KG_BGP_AGG_SQL = """
+WITH t AS ({t})
+SELECT g, COUNT(*) AS n_docs FROM (
+  SELECT DISTINCT p1.subj AS d, p3.obj AS g
+  FROM t p1
+  JOIN t p3 ON p3.subj = p1.subj AND p3.pred = 'http://schema.org/genre'
+  WHERE p1.pred = '{rdf_type}' AND p1.obj = 'http://schema.org/Article'
+) GROUP BY g
+"""
 
 _ENTAIL_PROPS_SQL = """
 WITH abox AS (
@@ -1281,6 +1341,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp": _KG_BGP_SQL.format(t=triples, rdf_type=_RDF_TYPE),
         "kg_bgp_minus": _KG_BGP_MINUS_SQL.format(t=triples,
                                                  rdf_type=_RDF_TYPE),
+        "kg_bgp_path": _KG_BGP_PATH_SQL,
+        "kg_bgp_agg": _KG_BGP_AGG_SQL.format(t=triples,
+                                             rdf_type=_RDF_TYPE),
         "entail_classes": _ENTAIL_CLASSES_SQL,
         "entail_props": _ENTAIL_PROPS_SQL,
         "entity_link_sameas": _ENTITY_LINK_SQL,

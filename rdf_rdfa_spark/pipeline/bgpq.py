@@ -23,7 +23,146 @@ def var(name: str):
     return ("var", name)
 
 
+# --- property paths (SPARQL 1.1 §9) -------------------------------------
+# A path expression evaluates to a DISTINCT (s, o) edge relation; a
+# triple pattern whose predicate position is a Path joins against that
+# relation instead of a pred-filtered scan.  Closures (p+ / p*) run as
+# iterative DOUBLING — log(diameter) rounds, one shuffle per round,
+# lineage truncated per round with a lazy localCheckpoint — the same
+# distributed-fixpoint shape as connected_components/entail.
+
+class Path:
+    __slots__ = ("op", "parts")
+
+    def __init__(self, op: str, parts):
+        self.op = op
+        self.parts = parts
+
+
+def seq(*parts) -> Path:
+    """p1/p2/... — sequence path."""
+    return Path("seq", parts)
+
+
+def alt(*parts) -> Path:
+    """p1|p2|... — alternative path."""
+    return Path("alt", parts)
+
+
+def inv(part) -> Path:
+    """^p — inverse path."""
+    return Path("inv", (part,))
+
+
+def one_or_more(part) -> Path:
+    """p+ — transitive closure."""
+    return Path("plus", (part,))
+
+
+def zero_or_more(part) -> Path:
+    """p* — reflexive-transitive closure.  The zero-length component
+    relates every graph node (distinct subj/obj term) to itself."""
+    return Path("star", (part,))
+
+
+def zero_or_one(part) -> Path:
+    """p? — optional single step."""
+    return Path("opt", (part,))
+
+
+def _closure(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    cur = edges.distinct().localCheckpoint(eager=False)
+    n = cur.count()
+    if n == 0:
+        return cur
+    for _ in range(max_iters):
+        left = cur
+        right = (cur.withColumnRenamed("s", "_m")
+                 .withColumnRenamed("o", "_o2"))
+        step = (left.join(right, left["o"] == right["_m"])
+                .select(left["s"], F.col("_o2").alias("o")))
+        nxt = cur.unionByName(step).distinct().localCheckpoint(eager=False)
+        m = nxt.count()
+        if m == n:
+            return nxt
+        cur, n = nxt, m
+    return cur
+
+
+def _graph_nodes(triples: DataFrame) -> DataFrame:
+    return (triples.select(F.col("subj").alias("n"))
+            .unionByName(triples.select(F.col("obj").alias("n")))
+            .distinct())
+
+
+def path_edges(triples: DataFrame, path) -> DataFrame:
+    """Path expression → DISTINCT (s, o) DataFrame."""
+    if isinstance(path, str):
+        return (triples.filter(F.col("pred") == path)
+                .select(F.col("subj").alias("s"), F.col("obj").alias("o"))
+                .distinct())
+    if not isinstance(path, Path):
+        raise TypeError("not a path: %r" % (path,))
+    if path.op == "seq":
+        out = None
+        for i, part in enumerate(path.parts):
+            nxt = path_edges(triples, part)
+            if out is None:
+                out = nxt
+            else:
+                mid = (nxt.withColumnRenamed("s", "_m")
+                       .withColumnRenamed("o", "_o2"))
+                out = (out.join(mid, out["o"] == mid["_m"])
+                       .select(out["s"], F.col("_o2").alias("o"))
+                       .distinct())
+        if out is None:
+            raise ValueError("empty seq path")
+        return out
+    if path.op == "alt":
+        outs = [path_edges(triples, p) for p in path.parts]
+        out = outs[0]
+        for nxt in outs[1:]:
+            out = out.unionByName(nxt)
+        return out.distinct()
+    if path.op == "inv":
+        e = path_edges(triples, path.parts[0])
+        return e.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    if path.op == "plus":
+        return _closure(path_edges(triples, path.parts[0]))
+    if path.op == "star":
+        nodes = _graph_nodes(triples).select(
+            F.col("n").alias("s"), F.col("n").alias("o"))
+        return (_closure(path_edges(triples, path.parts[0]))
+                .unionByName(nodes).distinct())
+    if path.op == "opt":
+        nodes = _graph_nodes(triples).select(
+            F.col("n").alias("s"), F.col("n").alias("o"))
+        return path_edges(triples, path.parts[0]).unionByName(
+            nodes).distinct()
+    raise ValueError("unknown path op %r" % path.op)
+
+
 def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
+    s_term, p_term, o_term = s_p_o
+    if isinstance(p_term, Path):
+        # predicate is a property path: bind the pattern against the
+        # path's (s, o) edge relation instead of a pred-filtered scan
+        part = path_edges(triples, p_term)
+        proj, filters, seen = [], [], {}
+        for pos, term in zip(("s", "o"), (s_term, o_term)):
+            col = F.col(pos)
+            if isinstance(term, tuple) and term[0] == "var":
+                name = term[1]
+                if name in seen:
+                    filters.append(col == F.col(seen[name]))
+                else:
+                    seen[name] = pos
+                    proj.append(col.alias(name))
+            else:
+                filters.append(col == F.lit(term))
+        for f in filters:
+            part = part.filter(f)
+        return part.select(*proj).distinct()
     proj, filters, seen = [], [], {}
     for pos, term in zip(_POSITIONS, s_p_o):
         col = F.col(pos)
@@ -140,6 +279,20 @@ def bgp_select(triples: DataFrame, patterns, select=None,
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def bgp_aggregate(triples: DataFrame, patterns, group_by, aggs,
+                  **kwargs) -> DataFrame:
+    """SPARQL GROUP BY + aggregates over BGP solutions.  ``group_by``
+    is a list of variable names; ``aggs`` maps output column name →
+    aggregate Column (e.g. ``{"n": F.count("*")}``).  Aggregates run
+    over the DISTINCT solution set (this engine's SELECT DISTINCT
+    contract), i.e. SPARQL's ``SELECT (COUNT(DISTINCT ...) ...)``
+    family.  The groupBy partial-aggregates map-side, so the shuffle
+    carries one row per (group, mapper), not the solutions."""
+    sol = bgp_select(triples, patterns, **kwargs)
+    return sol.groupBy(*group_by).agg(
+        *[expr.alias(name) for name, expr in aggs.items()])
 
 
 def bgp_ask(triples: DataFrame, patterns, **kwargs) -> bool:

@@ -43,28 +43,40 @@ def _subj_term(value: str):
 
 def export_rdfa_pages(triples: DataFrame) -> DataFrame:
     """triples(url, subj, pred, obj, obj_kind, lang, datatype[, graph])
-    → (url, html): one XHTML+RDFa document per source url."""
+    → (url, html): one XHTML+RDFa document per source url.
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        url = pdf["url"].iloc[0]
-        g = [
-            (_subj_term(s), iri(p), _term_for(o, k, lg, dt))
-            for s, p, o, k, lg, dt in zip(
-                pdf["subj"].values, pdf["pred"].values, pdf["obj"].values,
-                pdf["obj_kind"].values, pdf["lang"].values,
-                pdf["datatype"].values)
-        ]
-        return pd.DataFrame({"url": [url], "html": [serialize_rdfa(g)]})
-
+    Shape note: pages are SMALL groups (tens of triples), so a
+    groupBy(url).applyInPandas would pay the per-group pandas-frame
+    overhead 40k times per 40k pages — measured 5x the cost of the
+    actual serialization. Instead the per-page triple list is built
+    with collect_list (one shuffle, same as the groupBy) and the
+    serializer runs under mapInPandas, where one Arrow batch carries
+    MANY pages and the per-page cost is a plain Python loop."""
     cols = triples
     if "graph" in triples.columns:
         # output graph only — NULL from the extractor, 'output' from
         # the materialized store (partition columns cannot be NULL)
         cols = triples.filter(
             F.col("graph").isNull() | (F.col("graph") == "output"))
-    return (
-        cols.select("url", "subj", "pred", "obj", "obj_kind", "lang",
-                    "datatype")
-        .groupBy("url")
-        .applyInPandas(fn, PAGES_OUT_SCHEMA)
+    agged = (
+        cols.groupBy("url")
+        .agg(F.collect_list(F.struct(
+            "subj", "pred", "obj", "obj_kind", "lang", "datatype")
+        ).alias("_ts"))
     )
+
+    def gen(batches):
+        for pdf in batches:
+            urls, htmls = [], []
+            for url, ts in zip(pdf["url"], pdf["_ts"]):
+                g = [
+                    (_subj_term(t["subj"]), iri(t["pred"]),
+                     _term_for(t["obj"], t["obj_kind"], t["lang"],
+                               t["datatype"]))
+                    for t in ts
+                ]
+                urls.append(url)
+                htmls.append(serialize_rdfa(g))
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    return agged.mapInPandas(gen, PAGES_OUT_SCHEMA)

@@ -978,3 +978,60 @@ def test_precompaction_snapshot_read_is_partial(spark, sf_dir, tmp_path):
     # the compacted head sees everything
     head = materialize.current_snapshot(root)
     assert materialize.read_triples(spark, root, snapshot=head).count() == full
+
+
+def test_bgp_property_paths(spark):
+    from rdf_rdfa_spark.pipeline.bgpq import (
+        alt, bgp_select, inv, one_or_more, seq, var, zero_or_more,
+        zero_or_one)
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+         ("a", "q", "x"), ("x", "r", "y")],
+        "subj string, pred string, obj string")
+
+    def pairs(path, **kw):
+        return {(r["x"], r["y"]) for r in bgp_select(
+            triples, [(var("x"), path, var("y"))], **kw).collect()}
+
+    # p+ transitive closure
+    assert pairs(one_or_more("p")) == {
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        ("a", "c"), ("b", "d"), ("a", "d")}
+    # p* adds the zero-length identity over every graph node
+    star = pairs(zero_or_more("p"))
+    for n in ("a", "b", "c", "d", "x", "y", "q"):
+        if n in ("q",):
+            continue
+        assert (n, n) in star
+    assert ("a", "d") in star
+    # seq: q/r
+    assert pairs(seq("q", "r")) == {("a", "y")}
+    # alt: p|q from a
+    assert ("a", "b") in pairs(alt("p", "q")) and (
+        "a", "x") in pairs(alt("p", "q"))
+    # inverse
+    assert pairs(inv("p")) == {("b", "a"), ("c", "b"), ("d", "c")}
+    # zero_or_one
+    zoo = pairs(zero_or_one("q"))
+    assert ("a", "x") in zoo and ("b", "b") in zoo
+    # constant endpoint + closure: everything reachable from a via p+
+    got = {r["y"] for r in bgp_select(
+        triples, [("a", one_or_more("p"), var("y"))]).collect()}
+    assert got == {"b", "c", "d"}
+
+
+def test_bgp_aggregate(spark):
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_aggregate, var
+
+    triples = spark.createDataFrame(
+        [("a", "type", "Doc"), ("b", "type", "Doc"), ("c", "type", "Doc"),
+         ("a", "genre", "news"), ("b", "genre", "news"),
+         ("c", "genre", "blog"),
+         ("a", "genre", "news")],  # duplicate triple: set semantics
+        "subj string, pred string, obj string")
+    got = {r["g"]: r["n"] for r in bgp_aggregate(
+        triples,
+        [(var("d"), "type", "Doc"), (var("d"), "genre", var("g"))],
+        group_by=["g"], aggs={"n": F.count("*")}).collect()}
+    assert got == {"news": 2, "blog": 1}
