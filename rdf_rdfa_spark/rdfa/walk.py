@@ -85,6 +85,10 @@ _RDFA_ATTRS = frozenset((
 
 SCRIPT_TYPES = {"text/turtle", "text/ntriples", "application/n-triples", "text/n3"}
 
+# see the bare-link fast path in _enter: these attrs alone cannot emit
+# triples or alter any other element's evaluation context
+_LINK_ONLY_ATTRS = frozenset(("href", "src", "id"))
+
 
 def _coalesce(attrs, *names):
     """First PRESENT attribute value — Ruby's `attrs[:a] || attrs[:b]`
@@ -174,6 +178,9 @@ class RdfaWalker:
         # hoisted per-document: version never changes mid-walk
         self._rel_restr = R.TERMorCURIEorAbsIRI[version]
         self._res_restr = R.SAFECURIEorCURIEorIRI[version]
+        # (filtered-attrs, declares_mappings) memo keyed on the shared
+        # attrs-dict identity — see _enter
+        self._attrs_cache: dict = {}
 
         self.triples: dict = {}  # ordered set of (subj, pred, obj) term tuples
         # per-document URI-resolution memo: template pages repeat the
@@ -289,8 +296,12 @@ class RdfaWalker:
 
     def process_uri(self, element, value, base, restrictions, uri_mappings=None,
                     term_mappings=None, vocab=None, parent_subject=None):
+        # parent_subject deliberately NOT in the key: R.process_uri
+        # never reads it (bnode labels resolve through the per-document
+        # self.bnode memo), and keying on it made every element's
+        # lookups miss on template pages
         key = (value, id(restrictions), base, vocab,
-               id(uri_mappings), id(term_mappings), parent_subject)
+               id(uri_mappings), id(term_mappings))
         hit = self._uri_cache.get(key, self._CACHE_MISS)
         if hit is not self._CACHE_MISS:
             return hit
@@ -565,7 +576,15 @@ class RdfaWalker:
                 exit_rec = self._enter(element, ec, root)
                 if exit_rec is not None:
                     new_ec, record = exit_rec
-                    stack.append(("exit", record))
+                    # _exit only does step-14 list flush and @role.
+                    # A list mapping CREATED here (identity differs
+                    # from the parent's) may still be populated by
+                    # descendants before the exit fires, so the skip
+                    # keys on creation, not current emptiness.
+                    if ("role" in record[4]
+                            or (record[2] is not None
+                                and record[2] is not ec.list_mapping)):
+                        stack.append(("exit", record))
                     for child in reversed(element.element_children()):
                         if child._rel:
                             stack.append(("enter", child, new_ec))
@@ -602,14 +621,39 @@ class RdfaWalker:
             base = ec.base
 
         # single pass over the element's (few) attributes instead of
-        # 17 dict lookups + a separate xmlns scan
-        attrs = {}
-        declares_mappings = False
-        for k, v in element.attrs.items():
-            if k in _RDFA_ATTRS:
-                attrs[k] = v.strip()
-            elif k == "prefix" or k == "xmlns" or k.startswith("xmlns:"):
-                declares_mappings = True
+        # 17 dict lookups + a separate xmlns scan — memoized per SHARED
+        # attrs dict (the fast tree builder aliases one dict across
+        # identical start tags, so id() keys repeat heavily on template
+        # pages; the source dict is pinned in the value against id
+        # recycling)
+        hit = self._attrs_cache.get(id(element.attrs))
+        if hit is None:
+            attrs = {}
+            declares_mappings = False
+            for k, v in element.attrs.items():
+                if k in _RDFA_ATTRS:
+                    attrs[k] = v.strip()
+                elif k == "prefix" or k == "xmlns" or k.startswith("xmlns:"):
+                    declares_mappings = True
+            self._attrs_cache[id(element.attrs)] = (
+                attrs, declares_mappings, element.attrs)
+        else:
+            attrs, declares_mappings = hit[0], hit[1]
+
+        # bare-link fast path: an element whose only RDFa-relevant
+        # attributes are href/src/id emits no triples itself; its only
+        # outward effects are (a) becoming the context subject for
+        # DESCENDANT elements — none here — and (b) completing a
+        # parent @rel's incomplete triples — none pending.  Real pages
+        # are full of such <a href> leaves (228/page on the reference
+        # franz.com fixture).
+        if (not ec.incomplete_triples
+                and element is not root
+                and not declares_mappings
+                and not attrs.keys() - _LINK_ONLY_ATTRS
+                and element.name not in ("script", "head", "body")
+                and not element.element_children()):
+            return None
 
         if declares_mappings:
             uri_mappings = dict(uri_mappings)
@@ -619,7 +663,9 @@ class RdfaWalker:
         # HTML5: with @property, non-CURIE/non-IRI @rel/@rev values are
         # ignored (reader.rb:771-783 + 826-839)
         if ("property" in attrs and version == "rdfa1.1"
-                and host in ("html5", "xhtml5", "html4")):
+                and host in ("html5", "xhtml5", "html4")
+                and ("rel" in attrs or "rev" in attrs)):
+            attrs = dict(attrs)  # copy-on-write: the memo dict is shared
             for a in ("rel", "rev"):
                 if a in attrs:
                     kept = " ".join(t for t in attrs[a].split() if ":" in t)
