@@ -207,7 +207,8 @@ def bgp_union(triples: DataFrame, groups, select=None) -> DataFrame:
 
 def bgp_select(triples: DataFrame, patterns, select=None,
                filters=None, optional=None, minus=None,
-               not_exists=None, order_by=None, limit=None) -> DataFrame:
+               not_exists=None, order_by=None, limit=None,
+               values=None, bind=None) -> DataFrame:
     """patterns: [(s, p, o)] where each position is a concrete string
     or var('name'). → one column per variable (or ``select``'s subset),
     one row per solution (DISTINCT — set semantics like SPARQL
@@ -234,11 +235,28 @@ def bgp_select(triples: DataFrame, patterns, select=None,
     column names or Column expressions; with ``limit`` set, Catalyst
     compiles the pair to TakeOrderedAndProject — a per-partition top-k
     plus a driver merge of k·P rows, never a global sort of the
-    solution set."""
+    solution set.
+    ``values``: SPARQL VALUES — ``(var_names, rows)``: an inline
+    binding table (broadcast — it is literal data) inner-joined on its
+    variables.  ``bind``: SPARQL BIND — dict of new variable name →
+    Column expression over the solution columns, applied before
+    ``filters`` so FILTER can reference bound variables."""
     if not patterns:
         raise ValueError("empty BGP")
     out = _join_patterns(triples, patterns)
     required_vars = set(out.columns)
+    if values is not None:
+        names, rows = values
+        vdf = triples.sparkSession.createDataFrame(
+            [tuple(r) for r in rows], list(names))
+        shared = [c for c in vdf.columns if c in out.columns]
+        if not shared:
+            raise ValueError("VALUES shares no variable with the patterns")
+        out = out.join(F.broadcast(vdf), shared)
+        required_vars |= set(vdf.columns)
+    for name, expr in (bind or {}).items():
+        out = out.withColumn(name, expr)
+        required_vars.add(name)
     for flt in (filters or ()):
         out = out.filter(flt)
     for group in (optional or ()):

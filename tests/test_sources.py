@@ -151,3 +151,19 @@ def test_warc_streaming_bounded_batches(spark, tmp_path):
     assert pages.count() == 20
     urls = {r["url"] for r in pages.select("url").collect()}
     assert urls == {"http://b.example/%d" % i for i in range(20)}
+
+
+def test_warc_gzip_bomb_inflates_in_bounded_chunks():
+    """_iter_gunzip must never hand back one giant allocation for a
+    high-ratio member: output chunks are capped (default 4 MiB), so a
+    64 MiB-of-zeros member arrives in many bounded pieces."""
+    from rdf_rdfa_spark.sources.warc import _iter_gunzip
+
+    bomb = gzip.compress(b"\x00" * (64 << 20))      # ~64 KiB compressed
+    total = 0
+    max_chunk = 0
+    for chunk in _iter_gunzip(bomb):
+        total += len(chunk)
+        max_chunk = max(max_chunk, len(chunk))
+    assert total == 64 << 20
+    assert max_chunk <= 1 << 22
