@@ -313,6 +313,32 @@ def bgp_aggregate(triples: DataFrame, patterns, group_by, aggs,
         *[expr.alias(name) for name, expr in aggs.items()])
 
 
+def bgp_construct(triples: DataFrame, patterns, template,
+                  **kwargs) -> DataFrame:
+    """SPARQL CONSTRUCT: each solution instantiates every template
+    triple (s, p, o) — var('name') positions take the solution's
+    binding, strings stay constant.  Output is a DISTINCT
+    (subj, pred, obj) DataFrame ready for write_triples /
+    entailment — KG derivation rules as one declarative plan."""
+    sol = bgp_select(triples, patterns, **kwargs)
+    outs = []
+    for s, p, o in template:
+        cols = []
+        for pos, term in zip(_POSITIONS, (s, p, o)):
+            if isinstance(term, tuple) and term[0] == "var":
+                cols.append(F.col(term[1]).alias(pos))
+            else:
+                cols.append(F.lit(term).alias(pos))
+        outs.append(sol.select(*cols))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    # drop solutions with unbound (NULL) template vars, per SPARQL
+    for pos in _POSITIONS:
+        out = out.filter(F.col(pos).isNotNull())
+    return out.distinct()
+
+
 def bgp_ask(triples: DataFrame, patterns, **kwargs) -> bool:
     """SPARQL ASK over the distributed store: does at least one
     solution exist?  LIMIT 1 keeps the scan short-circuiting."""

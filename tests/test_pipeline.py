@@ -1079,3 +1079,28 @@ def test_processor_date_opt_in():
     out2, proc2, _ = parse_rdfa(html, url="http://x/", rdfagraph="all")
     assert not [t for t in proc2 if t[1][1].endswith("dc/terms/date")]
     assert out == out2   # the output graph is unaffected by the option
+
+
+def test_bgp_construct(spark):
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_construct, var
+
+    triples = spark.createDataFrame(
+        [("a", "type", "Doc"), ("a", "mirror", "m1"),
+         ("b", "type", "Doc")],
+        "subj string, pred string, obj string")
+    got = {tuple(r) for r in bgp_construct(
+        triples,
+        [(var("d"), "type", "Doc")],
+        [(var("d"), "kind", "document"),
+         (var("d"), "seen", var("d"))],
+        optional=[[(var("d"), "mirror", var("m"))]],
+    ).collect()}
+    assert ("a", "kind", "document") in got
+    assert ("b", "seen", "b") in got
+    assert len(got) == 4
+    # unbound OPTIONAL var in the template → that row dropped, per SPARQL
+    got2 = {tuple(r) for r in bgp_construct(
+        triples, [(var("d"), "type", "Doc")],
+        [(var("d"), "sameAs", var("m"))],
+        optional=[[(var("d"), "mirror", var("m"))]]).collect()}
+    assert got2 == {("a", "sameAs", "m1")}
