@@ -222,6 +222,23 @@ def q_kg_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         abox, [(var("x"), one_or_more(PROP_NS + "basedOn"), var("y"))])
 
 
+def q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL TEXT in, DataFrame out: the same negation + modifier
+    query as kg_bgp_minus authored as a SPARQL string and parsed by
+    pipeline/sparql.py — so the textual surface itself sits under the
+    value oracle (shared SQL with kg_bgp_minus)."""
+    from rdf_rdfa_spark.pipeline.sparql import sparql
+
+    triples = q_rdfa_extract(spark, sf_dir)
+    return sparql(triples, """
+        PREFIX schema: <http://schema.org/>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?d ?g WHERE {
+          ?d rdf:type schema:Article ; schema:genre ?g .
+          FILTER NOT EXISTS { ?d schema:sameAs ?m }
+        } ORDER BY ?d ?g LIMIT 100""")
+
+
 def q_kg_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregate over the KG: Articles per genre (GROUP BY +
     COUNT over the distinct solution set; map-side partial agg)."""
@@ -546,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_agg": q_kg_bgp_agg,
+        "kg_sparql": q_kg_sparql,
         "entail_classes": q_entail_classes,
         "entail_props": q_entail_props,
         "entity_link_sameas": q_entity_link_sameas,
@@ -1344,6 +1362,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_path": _KG_BGP_PATH_SQL,
         "kg_bgp_agg": _KG_BGP_AGG_SQL.format(t=triples,
                                              rdf_type=_RDF_TYPE),
+        # the SPARQL-text path shares kg_bgp_minus's oracle: same
+        # solution set, authored as a query string instead of an AST
+        "kg_sparql": _KG_BGP_MINUS_SQL.format(t=triples,
+                                              rdf_type=_RDF_TYPE),
         "entail_classes": _ENTAIL_CLASSES_SQL,
         "entail_props": _ENTAIL_PROPS_SQL,
         "entity_link_sameas": _ENTITY_LINK_SQL,

@@ -42,3 +42,4 @@ bgp_ask = _lazy(".pipeline.bgpq", "bgp_ask")
 bgp_aggregate = _lazy(".pipeline.bgpq", "bgp_aggregate")
 bgp_construct = _lazy(".pipeline.bgpq", "bgp_construct")
 bgp_union = _lazy(".pipeline.bgpq", "bgp_union")
+sparql = _lazy(".pipeline.sparql", "sparql")

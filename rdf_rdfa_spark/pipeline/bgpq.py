@@ -207,7 +207,7 @@ def bgp_union(triples: DataFrame, groups, select=None) -> DataFrame:
 
 def bgp_select(triples: DataFrame, patterns, select=None,
                filters=None, optional=None, minus=None,
-               not_exists=None, order_by=None, limit=None,
+               not_exists=None, exists=None, order_by=None, limit=None,
                values=None, bind=None) -> DataFrame:
     """patterns: [(s, p, o)] where each position is a concrete string
     or var('name'). → one column per variable (or ``select``'s subset),
@@ -289,6 +289,14 @@ def bgp_select(triples: DataFrame, patterns, select=None,
             # NOT EXISTS with a disjoint group: any match at all
             # empties the solution set (anti join on a TRUE condition)
             out = out.join(neg.limit(1), F.lit(True), "left_anti")
+    for group in (exists or ()):
+        pos = _join_patterns(triples, group)
+        shared = [c for c in pos.columns if c in out.columns]
+        if shared:
+            # FILTER EXISTS: keep solutions with a compatible match
+            out = out.join(pos.select(*shared), shared, "left_semi")
+        else:
+            out = out.join(pos.limit(1), F.lit(True), "left_semi")
     if select:
         out = out.select(*select)
     out = out.distinct()

@@ -1104,3 +1104,32 @@ def test_bgp_construct(spark):
         [(var("d"), "sameAs", var("m"))],
         optional=[[(var("d"), "mirror", var("m"))]]).collect()}
     assert got2 == {("a", "sameAs", "m1")}
+
+
+def test_path_closure_matches_python_reference(spark):
+    """Iterative-doubling closure vs a pure-Python Warshall reference
+    on pseudo-random graphs (fixed seeds — deterministic)."""
+    import random
+
+    from rdf_rdfa_spark.pipeline.bgpq import one_or_more, path_edges
+
+    for seed in (3, 17, 99):
+        rnd = random.Random(seed)
+        nodes = ["n%d" % i for i in range(14)]
+        edges = {(rnd.choice(nodes), rnd.choice(nodes))
+                 for _ in range(25)}
+        triples = spark.createDataFrame(
+            [(s, "p", o) for s, o in edges],
+            "subj string, pred string, obj string")
+        got = {(r["s"], r["o"]) for r in path_edges(
+            triples, one_or_more("p")).collect()}
+        want = set(edges)
+        grew = True
+        while grew:
+            grew = False
+            for (a, b) in list(want):
+                for (c, d) in list(want):
+                    if b == c and (a, d) not in want:
+                        want.add((a, d))
+                        grew = True
+        assert got == want, seed

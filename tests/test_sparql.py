@@ -1,0 +1,122 @@
+"""SPARQL text front end (pipeline/sparql.py): the subset compiles to
+the declarative bgpq operators; semantics verified against hand-built
+bgp_select calls and known answers."""
+
+import pytest
+
+from rdf_rdfa_spark.pipeline.sparql import SparqlSyntaxError, sparql
+
+S = "http://s/"
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    return spark.createDataFrame(
+        [("a", S + "type", "Doc"), ("b", S + "type", "Doc"),
+         ("c", S + "type", "Doc"),
+         ("a", S + "label", "Apple"), ("b", S + "label", "Pear"),
+         ("c", S + "label", "Fig"),
+         ("a", S + "mirror", "m1"),
+         ("m1", S + "label", "Mirror"),
+         ("a", S + "next", "b"), ("b", S + "next", "c"),
+         ("a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+          S + "Thing")],
+        "subj string, pred string, obj string")
+
+
+P = "PREFIX s: <http://s/>\n"
+
+
+def test_select_filter_minus_order_limit(kg):
+    rows = sparql(kg, P + """
+        SELECT ?d ?l WHERE {
+          ?d s:type "Doc" ; s:label ?l .
+          FILTER (STRLEN(?l) >= 3 && ?l != "Fig")
+          MINUS { ?d s:mirror ?m }
+        } ORDER BY DESC(?d) LIMIT 5""").collect()
+    assert [(r["d"], r["l"]) for r in rows] == [("b", "Pear")]
+
+
+def test_predicate_object_lists_and_a(kg):
+    rows = sparql(kg, P + 'SELECT ?x WHERE { ?x a s:Thing . }').collect()
+    assert [r["x"] for r in rows] == ["a"]
+
+
+def test_ask(kg):
+    assert sparql(kg, P + "ASK { ?x s:mirror ?m }") is True
+    assert sparql(kg, P + 'ASK { ?x s:mirror "nope" }') is False
+
+
+def test_property_paths(kg):
+    got = {(r["x"], r["y"]) for r in sparql(
+        kg, P + "SELECT ?x ?y WHERE { ?x s:next+ ?y }").collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+    # sequence path through the mirror
+    got = {tuple(r) for r in sparql(
+        kg, P + "SELECT ?x ?ml WHERE { ?x s:mirror/s:label ?ml }"
+    ).collect()}
+    assert got == {("a", "Mirror")}
+    # inverse: x ^p y <=> y p x, so "c" ^next ?x finds c's predecessor
+    got = {tuple(r) for r in sparql(
+        kg, P + 'SELECT ?x WHERE { "c" ^s:next ?x }').collect()}
+    assert got == {("b",)}
+    # alternative with grouping
+    got = {r["v"] for r in sparql(
+        kg, P + 'SELECT ?v WHERE { "a" (s:label|s:mirror) ?v }'
+    ).collect()}
+    assert got == {"Apple", "m1"}
+
+
+def test_construct(kg):
+    got = {tuple(r) for r in sparql(kg, P + """
+        CONSTRUCT { ?x s:reachable ?y } WHERE { ?x s:next+ ?y }
+    """).collect()}
+    assert got == {("a", S + "reachable", "b"),
+                   ("a", S + "reachable", "c"),
+                   ("b", S + "reachable", "c")}
+
+
+def test_aggregates_group_by(kg):
+    rows = sparql(kg, P + """
+        SELECT ?t (COUNT(*) AS ?n) WHERE { ?d s:type ?t }
+        GROUP BY ?t ORDER BY ?t""").collect()
+    assert [(r["t"], r["n"]) for r in rows] == [("Doc", 3)]
+
+
+def test_union(kg):
+    assert sparql(kg, P + """
+        SELECT ?d WHERE {
+          { ?d s:mirror ?v } UNION { ?d s:label ?v }
+        }""").count() == 4  # a,b,c,m1
+
+
+def test_values_bind_regex_exists(kg):
+    rows = sparql(kg, P + """
+        SELECT ?d ?ll WHERE {
+          ?d s:label ?l . BIND(LCASE(?l) AS ?ll)
+          VALUES ?d { "a" "b" } FILTER (REGEX(?ll, "^p"))
+        }""").collect()
+    assert [(r["d"], r["ll"]) for r in rows] == [("b", "pear")]
+    rows = sparql(kg, P + """
+        SELECT ?d WHERE {
+          ?d s:type "Doc" . FILTER EXISTS { ?d s:mirror ?m }
+        }""").collect()
+    assert [r["d"] for r in rows] == ["a"]
+    rows = sparql(kg, P + """
+        SELECT ?d WHERE {
+          ?d s:type "Doc" . FILTER NOT EXISTS { ?d s:mirror ?m }
+        } ORDER BY ?d""").collect()
+    assert [r["d"] for r in rows] == ["b", "c"]
+
+
+def test_syntax_errors(kg):
+    for q in (
+        "SELECT ?x WHERE { ?x unknown:p ?y }",      # undeclared prefix
+        P + "SELECT ?x WHERE { ?x s:p }",           # missing object
+        P + "SELECT ?x WHERE { ?x s:p ?y ",         # unterminated group
+        P + "FOO ?x WHERE { ?x s:p ?y }",           # bad form
+        P + "SELECT ?x WHERE { ?x s:p ?y . FILTER (BOGUSFN(?y)) }",
+    ):
+        with pytest.raises(SparqlSyntaxError):
+            # parse errors surface before any Spark action
+            sparql(kg, q)
