@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--export-pages", action="store_true",
                     help="re-emit the (refined) store as RDFa pages "
                          "(distributed writer, one doc per url)")
+    ap.add_argument("--sparql", metavar="QUERY",
+                    help="after materialization, run a SPARQL query "
+                         "(SELECT/ASK/CONSTRUCT subset) against the "
+                         "store and print the result")
+    ap.add_argument("--sparql-limit", type=int, default=20,
+                    help="max rows printed for --sparql (default 20)")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -108,6 +114,16 @@ def main():
         out3 = os.path.join(args.output, "pages_rdfa")
         export_rdfa_pages(src).write.mode("overwrite").parquet(out3)
         manifest["exported_pages"] = out3
+
+    if args.sparql:
+        from rdf_rdfa_spark.pipeline.sparql import sparql as run_sparql
+
+        store = materialize.read_triples(spark, args.output)
+        result = run_sparql(store, args.sparql)
+        if isinstance(result, bool):
+            print(json.dumps({"ask": result}))
+        else:
+            result.show(args.sparql_limit, truncate=60)
 
     summary = materialize.lineage_summary(args.output)
     print(json.dumps({"manifest": manifest, "lineage": {
