@@ -15,7 +15,7 @@ plans — this module only builds ASTs):
     REGEX → RLIKE, STRLEN/CONTAINS/STRSTARTS/STRENDS/UCASE/LCASE/STR)
   - BIND(expr AS ?v), VALUES ?v { ... } / VALUES (?a ?b) { (..) .. }
   - GROUP BY + COUNT/SUM/MIN/MAX/AVG aggregates in the SELECT clause
-  - ORDER BY [ASC|DESC](?v), LIMIT n
+  - ORDER BY [ASC|DESC](?v), LIMIT n, OFFSET n
 
 Deliberate scope notes: the engine queries the (subj, pred, obj)
 string columns of the constructed KG store, so literals match on
@@ -532,12 +532,19 @@ class _Parser:
                     break
         q["order"] = order
         q["limit"] = None
+        q["offset"] = 0
         if self.at_word("LIMIT"):
             self.next()
             kind, n = self.next()
             if kind != "number":
                 raise SparqlSyntaxError("LIMIT needs a number")
             q["limit"] = int(n)
+        if self.at_word("OFFSET"):
+            self.next()
+            kind, n = self.next()
+            if kind != "number":
+                raise SparqlSyntaxError("OFFSET needs a number")
+            q["offset"] = int(n)
         if self.peek()[0] != "eof":
             raise SparqlSyntaxError(
                 "trailing tokens at %r" % (self.peek()[1],))
@@ -595,6 +602,13 @@ def sparql(triples: DataFrame, query: str):
                             group_by=q["group_by"], aggs=aggs, **kwargs)
         if order_cols:
             out = out.orderBy(*order_cols)
+        if q.get("limit") is not None:
+            out = out.limit(q["limit"])
+        return out
+    if q.get("offset"):
+        out = bgp_select(triples, g["patterns"], select=q.get("vars"),
+                         order_by=order_cols or None, **kwargs)
+        out = out.offset(q["offset"])
         if q.get("limit") is not None:
             out = out.limit(q["limit"])
         return out

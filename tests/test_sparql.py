@@ -120,3 +120,30 @@ def test_syntax_errors(kg):
         with pytest.raises(SparqlSyntaxError):
             # parse errors surface before any Spark action
             sparql(kg, q)
+
+
+def test_offset(kg):
+    rows = sparql(kg, P + """
+        SELECT ?d WHERE { ?d s:type "Doc" } ORDER BY ?d
+        LIMIT 2 OFFSET 1""").collect()
+    assert [r["d"] for r in rows] == ["b", "c"]
+
+
+def test_parser_never_crashes_on_garbage(kg):
+    """Hostile inputs raise SparqlSyntaxError (a typed error the
+    caller can handle), never arbitrary exceptions."""
+    import random
+
+    rnd = random.Random(11)
+    frags = ["SELECT", "?x", "{", "}", "WHERE", "(", ")", "FILTER",
+             "OPTIONAL", "<http://x>", '"lit"', ".", ";", ",", "|",
+             "/", "^", "+", "*", "a", "PREFIX", "s:", "UNION", "ASK",
+             "MINUS", "BIND", "AS", "VALUES", "ORDER", "BY", "LIMIT",
+             "5", "&&", "=", "@en", "^^"]
+    for _ in range(300):
+        q = " ".join(rnd.choice(frags)
+                     for _ in range(rnd.randrange(1, 25)))
+        try:
+            sparql(kg, q)
+        except SparqlSyntaxError:
+            pass
