@@ -239,6 +239,23 @@ def q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
         } ORDER BY ?d ?g LIMIT 100""")
 
 
+def q_kg_sparql_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-metadata SPARQL: the engine threads the store's
+    lang/datatype/obj_kind columns alongside object-bound variables,
+    so FILTERs can test LANG()/DATATYPE()/isIRI() — here: every
+    integer-typed or English-tagged object in the KG."""
+    from rdf_rdfa_spark.pipeline.sparql import sparql
+
+    triples = q_rdfa_extract(spark, sf_dir)
+    return sparql(triples, """
+        SELECT ?d ?p ?v WHERE {
+          ?d ?p ?v .
+          FILTER (DATATYPE(?v) =
+                    <http://www.w3.org/2001/XMLSchema#integer>
+                  || LANG(?v) = "en")
+        }""")
+
+
 def q_kg_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregate over the KG: Articles per genre (GROUP BY +
     COUNT over the distinct solution set; map-side partial agg)."""
@@ -564,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_sparql": q_kg_sparql,
+        "kg_sparql_meta": q_kg_sparql_meta,
         "entail_classes": q_entail_classes,
         "entail_props": q_entail_props,
         "entity_link_sameas": q_entity_link_sameas,
@@ -1366,6 +1384,10 @@ def oracle_sql() -> dict[str, str]:
         # solution set, authored as a query string instead of an AST
         "kg_sparql": _KG_BGP_MINUS_SQL.format(t=triples,
                                               rdf_type=_RDF_TYPE),
+        "kg_sparql_meta": (
+            "SELECT subj AS d, pred AS p, obj AS v FROM (%s) "
+            "WHERE datatype = 'http://www.w3.org/2001/XMLSchema#integer'"
+            " OR lang = 'en'" % triples),
         "entail_classes": _ENTAIL_CLASSES_SQL,
         "entail_props": _ENTAIL_PROPS_SQL,
         "entity_link_sameas": _ENTITY_LINK_SQL,

@@ -142,6 +142,15 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
     raise ValueError("unknown path op %r" % path.op)
 
 
+# object-term metadata columns (present in the extraction/store
+# schema): a variable bound in OBJECT position carries them along as
+# <var>__lang / <var>__dt / <var>__kind, so FILTERs can test
+# LANG()/DATATYPE()/isIRI().  Metadata never joins (term equality in
+# this engine is lexical) and is stripped from final output.
+_META_SRC = (("lang", "__lang"), ("datatype", "__dt"),
+             ("obj_kind", "__kind"))
+
+
 def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
     s_term, p_term, o_term = s_p_o
     if isinstance(p_term, Path):
@@ -164,6 +173,7 @@ def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
             part = part.filter(f)
         return part.select(*proj).distinct()
     proj, filters, seen = [], [], {}
+    have_meta = all(src in triples.columns for src, _sfx in _META_SRC)
     for pos, term in zip(_POSITIONS, s_p_o):
         col = F.col(pos)
         if isinstance(term, tuple) and term[0] == "var":
@@ -174,6 +184,9 @@ def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
             else:
                 seen[name] = pos
                 proj.append(col.alias(name))
+                if pos == "obj" and have_meta:
+                    for src, sfx in _META_SRC:
+                        proj.append(F.col(src).alias(name + sfx))
         else:
             filters.append(col == F.lit(term))
     part = triples
@@ -189,7 +202,14 @@ def _join_patterns(triples: DataFrame, patterns) -> DataFrame:
         if out is None:
             out = part
         else:
-            shared = [c for c in part.columns if c in out.columns]
+            # metadata columns never act as join keys, and the first
+            # binding's metadata wins on re-binds
+            dup_meta = [c for c in part.columns
+                        if "__" in c and c in out.columns]
+            if dup_meta:
+                part = part.drop(*dup_meta)
+            shared = [c for c in part.columns
+                      if c in out.columns and "__" not in c]
             out = out.join(part, shared) if shared else out.crossJoin(part)
     return out
 
@@ -261,9 +281,15 @@ def bgp_select(triples: DataFrame, patterns, select=None,
         out = out.filter(flt)
     for group in (optional or ()):
         opt = _join_patterns(triples, group)
-        shared = [c for c in opt.columns if c in required_vars]
+        dup_meta = [c for c in opt.columns
+                    if "__" in c and c in out.columns]
+        if dup_meta:
+            opt = opt.drop(*dup_meta)
+        shared = [c for c in opt.columns
+                  if c in required_vars and "__" not in c]
         extra = [c for c in opt.columns
-                 if c in out.columns and c not in required_vars]
+                 if c in out.columns and c not in required_vars
+                 and "__" not in c]
         if extra:
             raise ValueError(
                 "OPTIONAL group shares variables %s bound only by an "
@@ -276,13 +302,15 @@ def bgp_select(triples: DataFrame, patterns, select=None,
         out = out.join(opt, shared, "left")
     for group in (minus or ()):
         neg = _join_patterns(triples, group)
-        shared = [c for c in neg.columns if c in out.columns]
+        shared = [c for c in neg.columns
+                  if c in out.columns and "__" not in c]
         if shared:
             out = out.join(neg.select(*shared), shared, "left_anti")
         # no shared variables → MINUS removes nothing (SPARQL spec)
     for group in (not_exists or ()):
         neg = _join_patterns(triples, group)
-        shared = [c for c in neg.columns if c in out.columns]
+        shared = [c for c in neg.columns
+                  if c in out.columns and "__" not in c]
         if shared:
             out = out.join(neg.select(*shared), shared, "left_anti")
         else:
@@ -291,7 +319,8 @@ def bgp_select(triples: DataFrame, patterns, select=None,
             out = out.join(neg.limit(1), F.lit(True), "left_anti")
     for group in (exists or ()):
         pos = _join_patterns(triples, group)
-        shared = [c for c in pos.columns if c in out.columns]
+        shared = [c for c in pos.columns
+                  if c in out.columns and "__" not in c]
         if shared:
             # FILTER EXISTS: keep solutions with a compatible match
             out = out.join(pos.select(*shared), shared, "left_semi")
@@ -299,6 +328,12 @@ def bgp_select(triples: DataFrame, patterns, select=None,
             out = out.join(pos.limit(1), F.lit(True), "left_semi")
     if select:
         out = out.select(*select)
+    else:
+        # metadata rides along for FILTER/BIND only — never part of
+        # the solution (set semantics are over the lexical bindings)
+        meta = [c for c in out.columns if "__" in c]
+        if meta:
+            out = out.drop(*meta)
     out = out.distinct()
     if order_by:
         out = out.orderBy(*order_by)

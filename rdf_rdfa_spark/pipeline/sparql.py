@@ -426,6 +426,27 @@ class _Parser:
                     self.eat_op("(")
                     parts.append(self._simple_operand())
                     self.eat_op(")")
+                elif up in ("LANG", "DATATYPE", "ISIRI", "ISURI",
+                            "ISLITERAL", "ISBLANK"):
+                    # term metadata: the engine threads the store's
+                    # lang/datatype/obj_kind columns alongside
+                    # object-bound variables (bgpq._META_SRC)
+                    self.eat_op("(")
+                    kind2, v2 = self.next()
+                    if kind2 != "var":
+                        raise SparqlSyntaxError("%s needs a ?var" % up)
+                    self.eat_op(")")
+                    if up == "LANG":
+                        parts.append("COALESCE(`%s__lang`, '')" % v2)
+                    elif up == "DATATYPE":
+                        parts.append(
+                            "COALESCE(`%s__dt`, 'http://www.w3.org/"
+                            "2001/XMLSchema#string')" % v2)
+                    else:
+                        kindval = {"ISIRI": "iri", "ISURI": "iri",
+                                   "ISLITERAL": "literal",
+                                   "ISBLANK": "bnode"}[up]
+                        parts.append("(`%s__kind` = '%s')" % (v2, kindval))
                 elif up in self._FN_MAP:
                     parts.append(self._FN_MAP[up])
                 elif up in ("TRUE", "FALSE", "AND", "OR", "NOT", "IN"):

@@ -147,3 +147,35 @@ def test_parser_never_crashes_on_garbage(kg):
             sparql(kg, q)
         except SparqlSyntaxError:
             pass
+
+
+def test_term_metadata_functions(spark):
+    """LANG/DATATYPE/isIRI over a triples DF that carries the store's
+    metadata columns; plain (s,p,o) frames still work (no metadata →
+    those functions are unavailable, not wrong)."""
+    kg = spark.createDataFrame(
+        [("a", S + "name", "Anna", "literal", "en", None),
+         ("a", S + "name", "Anne", "literal", "fr", None),
+         ("a", S + "age", "7", "literal", None,
+          "http://www.w3.org/2001/XMLSchema#integer"),
+         ("a", S + "link", "http://x/", "iri", None, None)],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, datatype string")
+    got = {r["v"] for r in sparql(kg, P + """
+        SELECT ?v WHERE { "a" ?p ?v . FILTER (LANG(?v) = "en") }
+    """).collect()}
+    assert got == {"Anna"}
+    got = {r["v"] for r in sparql(kg, P + """
+        SELECT ?v WHERE { "a" ?p ?v . FILTER (DATATYPE(?v) =
+          <http://www.w3.org/2001/XMLSchema#integer>) }""").collect()}
+    assert got == {"7"}
+    got = {r["v"] for r in sparql(kg, P + """
+        SELECT ?v WHERE { "a" ?p ?v . FILTER (isIRI(?v)) }""").collect()}
+    assert got == {"http://x/"}
+    # metadata never leaks into the solution schema
+    df = sparql(kg, P + 'SELECT ?p ?v WHERE { "a" ?p ?v }')
+    assert df.columns == ["p", "v"]
+    # and joins across patterns stay lexical (metadata is not a key)
+    got = {r["n"] for r in sparql(kg, P + """
+        SELECT ?n WHERE { "a" s:name ?n . "a" s:name ?n }""").collect()}
+    assert got == {"Anna", "Anne"}
