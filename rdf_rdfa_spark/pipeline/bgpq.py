@@ -23,6 +23,15 @@ def var(name: str):
     return ("var", name)
 
 
+def lit(value: str, lang: str | None = None,
+        datatype: str | None = None):
+    """A TAGGED literal constant for object position: matches the
+    lexical form AND the store's lang/datatype metadata columns
+    ("chat"@fr / "5"^^xsd:integer).  Plain strings keep matching
+    lexically only."""
+    return ("lit", value, lang, datatype)
+
+
 # --- property paths (SPARQL 1.1 §9) -------------------------------------
 # A path expression evaluates to a DISTINCT (s, o) edge relation; a
 # triple pattern whose predicate position is a Path joins against that
@@ -187,6 +196,18 @@ def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
                 if pos == "obj" and have_meta:
                     for src, sfx in _META_SRC:
                         proj.append(F.col(src).alias(name + sfx))
+        elif isinstance(term, tuple) and term[0] == "lit":
+            _tag, value, lang, datatype = term
+            if pos != "obj":
+                raise ValueError("tagged literal only valid as object")
+            if not have_meta:
+                raise ValueError(
+                    "tagged-literal match needs lang/datatype columns")
+            filters.append(col == F.lit(value))
+            if lang is not None:
+                filters.append(F.col("lang") == lang)
+            if datatype is not None:
+                filters.append(F.col("datatype") == datatype)
         else:
             filters.append(col == F.lit(term))
     part = triples

@@ -17,10 +17,10 @@ plans — this module only builds ASTs):
   - GROUP BY + COUNT/SUM/MIN/MAX/AVG aggregates in the SELECT clause
   - ORDER BY [ASC|DESC](?v), LIMIT n, OFFSET n
 
-Deliberate scope notes: the engine queries the (subj, pred, obj)
-string columns of the constructed KG store, so literals match on
-their LEXICAL form (language/datatype columns are queryable through
-the store schema, not through this subset), and solution semantics
+Deliberate scope notes: untagged literals match the store's obj
+column on LEXICAL form; "lit"@lang / "lit"^^dt constants and the
+LANG()/DATATYPE()/isIRI() FILTER functions additionally match the
+store's lang/datatype/obj_kind columns.  Solution semantics
 are SELECT DISTINCT (the engine's set-semantics contract).  The
 reference ecosystem evaluates full SPARQL through the sparql gem
 (suite_spec.rb:51-53); this subset covers the query shapes its own
@@ -41,6 +41,7 @@ from .bgpq import (
     bgp_select,
     bgp_union,
     inv,
+    lit,
     one_or_more,
     seq,
     var,
@@ -169,12 +170,20 @@ class _Parser:
             return self._pname_iri(val)
         if kind == "string":
             self.next()
-            # lexical-form literal; optional @lang/^^dt consumed and
-            # DROPPED (the engine matches obj's lexical column)
+            # tagged literals match lexical form + the store's
+            # lang/datatype metadata columns (bgpq.lit)
             if self.peek()[0] == "langdt":
                 t = self.next()
                 if t[1] == "^^":
-                    self.next()  # the datatype iri/pname
+                    dk, dv = self.next()
+                    if dk == "iri":
+                        dt = dv
+                    elif dk == "pname":
+                        dt = self._pname_iri(dv)
+                    else:
+                        raise SparqlSyntaxError("^^ needs a datatype iri")
+                    return lit(val, None, dt)
+                return lit(val, t[1][1:], None)  # @lang
             return val
         if kind == "number":
             self.next()

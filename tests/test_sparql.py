@@ -179,3 +179,28 @@ def test_term_metadata_functions(spark):
     got = {r["n"] for r in sparql(kg, P + """
         SELECT ?n WHERE { "a" s:name ?n . "a" s:name ?n }""").collect()}
     assert got == {"Anna", "Anne"}
+
+
+def test_tagged_literal_patterns(spark):
+    """"lit"@lang and "lit"^^dt in object position match the store's
+    metadata columns, not just the lexical form."""
+    kg = spark.createDataFrame(
+        [("a", S + "name", "chat", "literal", "fr", None),
+         ("b", S + "name", "chat", "literal", "en", None),
+         ("c", S + "age", "7", "literal", None,
+          "http://www.w3.org/2001/XMLSchema#integer"),
+         ("d", S + "age", "7", "literal", None,
+          "http://www.w3.org/2001/XMLSchema#string")],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, datatype string")
+    got = {r["x"] for r in sparql(kg, P + """
+        SELECT ?x WHERE { ?x s:name "chat"@fr }""").collect()}
+    assert got == {"a"}
+    got = {r["x"] for r in sparql(kg, P + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?x WHERE { ?x s:age "7"^^xsd:integer }""").collect()}
+    assert got == {"c"}
+    # untagged still matches lexically (both rows)
+    got = {r["x"] for r in sparql(kg, P + """
+        SELECT ?x WHERE { ?x s:age "7" }""").collect()}
+    assert got == {"c", "d"}
