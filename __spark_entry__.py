@@ -222,6 +222,29 @@ def q_kg_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         abox, [(var("x"), one_or_more(PROP_NS + "basedOn"), var("y"))])
 
 
+def q_kg_bgp_path_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-restricted property path: ``<doc19> basedOn+ ?y`` — the
+    engine seeds a frontier from the BOUND subject and iterates
+    frontier ⋈ edges to fixpoint (work ∝ the reachable chain, 9 docs),
+    instead of materializing the full closure and filtering — the
+    web-scale reachability shape (oracle: seeded DuckDB recursive
+    CTE)."""
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_select, one_or_more, var
+
+    abox = (
+        _docs(spark, sf_dir)
+        .filter("doc_id % 10 != 0 AND doc_id > 0")
+        .selectExpr(
+            "'%s' || doc_id AS subj" % DOC_NS,
+            "'%sbasedOn' AS pred" % PROP_NS,
+            "'%s' || (doc_id - 1) AS obj" % DOC_NS,
+        )
+    )
+    return bgp_select(
+        abox, [(DOC_NS + "19", one_or_more(PROP_NS + "basedOn"),
+                var("y"))])
+
+
 def q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL TEXT in, DataFrame out: the same negation + modifier
     query as kg_bgp_minus authored as a SPARQL string and parsed by
@@ -579,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": q_kg_bgp,
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_bgp_path": q_kg_bgp_path,
+        "kg_bgp_path_seeded": q_kg_bgp_path_seeded,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_meta": q_kg_sparql_meta,
@@ -647,6 +671,18 @@ WITH RECURSIVE e AS (
   SELECT p.s, e.o FROM p JOIN e ON p.o = e.s
 )
 SELECT s AS x, o AS y FROM p
+""".format(doc=DOC_NS)
+
+_KG_BGP_PATH_SEEDED_SQL = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS s, doc_id - 1 AS o
+  FROM documents WHERE doc_id % 10 <> 0 AND doc_id > 0
+), r AS (
+  SELECT o FROM e WHERE s = 19
+  UNION
+  SELECT e.o FROM r JOIN e ON r.o = e.s
+)
+SELECT '{doc}' || o AS y FROM r
 """.format(doc=DOC_NS)
 
 _KG_BGP_AGG_SQL = """
@@ -1378,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_minus": _KG_BGP_MINUS_SQL.format(t=triples,
                                                  rdf_type=_RDF_TYPE),
         "kg_bgp_path": _KG_BGP_PATH_SQL,
+        "kg_bgp_path_seeded": _KG_BGP_PATH_SEEDED_SQL,
         "kg_bgp_agg": _KG_BGP_AGG_SQL.format(t=triples,
                                              rdf_type=_RDF_TYPE),
         # the SPARQL-text path shares kg_bgp_minus's oracle: same

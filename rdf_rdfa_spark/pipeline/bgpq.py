@@ -151,6 +151,123 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
     raise ValueError("unknown path op %r" % path.op)
 
 
+# --- seed-restricted path evaluation ------------------------------------
+# When a pattern binds a CONSTANT at either endpoint of a path —
+# ``<x> p+ ?y`` is the most common reachability shape — materializing
+# the full unrestricted closure and then filtering is quadratic-ish in
+# reachable pairs and a scale-killer on a web KG.  Instead the
+# evaluation seeds a frontier from the bound term and iterates
+# ``frontier ⋈ edges`` to fixpoint: work proportional to the REACHABLE
+# set, one shuffle per BFS round, lineage truncated per round exactly
+# like the unseeded doubling closure.  A bound OBJECT reuses the same
+# machinery on the inverted path.
+
+#: diagnostics from the most recent seeded closure run (rounds taken,
+#: total rows ever added to the visited set) — lets tests pin that a
+#: seeded query never explores beyond its reachable component.
+last_seeded_stats: dict = {}
+
+
+def _invert(path):
+    """Path → its inverse, pushed to the leaves (``inv`` of a bare
+    predicate), so seeding from the object endpoint reuses the forward
+    frontier machinery unchanged."""
+    if isinstance(path, str):
+        return Path("inv", (path,))
+    if path.op == "inv":
+        return path.parts[0]
+    if path.op == "seq":
+        return Path("seq", tuple(_invert(p) for p in reversed(path.parts)))
+    if path.op == "alt":
+        return Path("alt", tuple(_invert(p) for p in path.parts))
+    # plus / star / opt commute with inversion
+    return Path(path.op, (_invert(path.parts[0]),))
+
+
+def _pred_edges(triples: DataFrame, pred: str, forward: bool) -> DataFrame:
+    src, dst = ("subj", "obj") if forward else ("obj", "subj")
+    return (triples.filter(F.col("pred") == pred)
+            .select(F.col(src).alias("_s"), F.col(dst).alias("_o")))
+
+
+def _step(triples: DataFrame, path, frontier: DataFrame) -> DataFrame:
+    """Apply ``path`` once from ``frontier`` (seed, n) → (seed, n).
+    Bare predicates join the (small) frontier against a pred-filtered
+    scan; closures recurse into the seeded BFS."""
+    if isinstance(path, str) or (isinstance(path, Path)
+                                 and path.op == "inv"
+                                 and isinstance(path.parts[0], str)):
+        forward = isinstance(path, str)
+        pred = path if forward else path.parts[0]
+        e = _pred_edges(triples, pred, forward)
+        return (frontier.join(e, frontier["n"] == e["_s"])
+                .select("seed", F.col("_o").alias("n")).distinct())
+    if not isinstance(path, Path):
+        raise TypeError("not a path: %r" % (path,))
+    if path.op == "inv":
+        return _step(triples, _invert(path.parts[0]), frontier)
+    if path.op == "seq":
+        cur = frontier
+        for part in path.parts:
+            cur = _step(triples, part, cur)
+        return cur
+    if path.op == "alt":
+        outs = [_step(triples, p, frontier) for p in path.parts]
+        out = outs[0]
+        for nxt in outs[1:]:
+            out = out.unionByName(nxt)
+        return out.distinct()
+    if path.op == "plus":
+        return _seeded_closure(triples, path.parts[0], frontier,
+                               reflexive=False)
+    if path.op == "star":
+        return _seeded_closure(triples, path.parts[0], frontier,
+                               reflexive=True)
+    if path.op == "opt":
+        return (frontier.distinct()
+                .unionByName(_step(triples, path.parts[0], frontier))
+                .distinct())
+    raise ValueError("unknown path op %r" % path.op)
+
+
+def _seeded_closure(triples: DataFrame, inner, seeds: DataFrame,
+                    reflexive: bool, max_iters: int = 64) -> DataFrame:
+    """BFS from the seed set: per round one frontier ⋈ edges shuffle
+    plus an anti-join against the visited set — total work ∝ edges of
+    the reachable component, rounds = its diameter (web-KG diameters
+    are small; contrast the unseeded doubling closure, which touches
+    the WHOLE edge relation every round)."""
+    seeds = seeds.distinct().localCheckpoint(eager=False)
+    visited = None
+    frontier = seeds
+    rounds = added = 0
+    for _ in range(max_iters):
+        step = _step(triples, inner, frontier)
+        if visited is not None:
+            step = step.join(visited, ["seed", "n"], "left_anti")
+        step = step.localCheckpoint(eager=False)
+        n_new = step.count()
+        rounds += 1
+        if n_new == 0:
+            break
+        added += n_new
+        visited = (step if visited is None
+                   else visited.unionByName(step)
+                   .localCheckpoint(eager=False))
+        frontier = step
+    last_seeded_stats.clear()
+    last_seeded_stats.update({"rounds": rounds, "visited_rows": added})
+    if visited is None:
+        visited = seeds.limit(0)
+    if reflexive:
+        # zero-length component: the SEED relates to itself (per the
+        # SPARQL zero-length-path semantics for a bound term — note
+        # this holds even when the term has no edges in the graph,
+        # where the unseeded all-nodes evaluation would drop it)
+        visited = visited.unionByName(seeds).distinct()
+    return visited
+
+
 # object-term metadata columns (present in the extraction/store
 # schema): a variable bound in OBJECT position carries them along as
 # <var>__lang / <var>__dt / <var>__kind, so FILTERs can test
@@ -159,25 +276,64 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
 _META_SRC = (("lang", "__lang"), ("datatype", "__dt"),
              ("obj_kind", "__kind"))
 
+# reserved metadata suffixes: ONLY these mark a column as metadata —
+# a user variable like ?a__b is an ordinary variable (joins, selects)
+_META_SUFFIXES = tuple(sfx for _src, sfx in _META_SRC)
+
+
+def _is_meta(col_name: str) -> bool:
+    return col_name.endswith(_META_SUFFIXES)
+
+
+def _check_var_name(name: str) -> str:
+    if _is_meta(name):
+        raise ValueError(
+            "variable name %r ends with a reserved metadata suffix "
+            "(%s)" % (name, "/".join(_META_SUFFIXES)))
+    return name
+
 
 def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
     s_term, p_term, o_term = s_p_o
     if isinstance(p_term, Path):
-        # predicate is a property path: bind the pattern against the
-        # path's (s, o) edge relation instead of a pred-filtered scan
+        for term in (s_term, o_term):
+            if isinstance(term, tuple) and term[0] == "lit":
+                raise ValueError(
+                    "tagged-literal endpoints are not supported on "
+                    "property-path patterns (paths bind lexical terms)")
+        s_is_const = not isinstance(s_term, tuple)
+        o_is_const = not isinstance(o_term, tuple)
+        if s_is_const or o_is_const:
+            # SEEDED evaluation: iterate a frontier from the bound
+            # endpoint — work ∝ the reachable set, never the full
+            # closure (bound object runs the inverted path forward)
+            spark = triples.sparkSession
+            if s_is_const:
+                seed_val, path_fwd, other = s_term, p_term, o_term
+            else:
+                seed_val, path_fwd, other = (o_term, _invert(p_term),
+                                             s_term)
+            seeds = spark.createDataFrame(
+                [(seed_val, seed_val)], "seed string, n string")
+            reach = _step(triples, path_fwd, seeds)
+            if isinstance(other, tuple):  # the free endpoint is a var
+                name = _check_var_name(other[1])
+                return reach.select(F.col("n").alias(name)).distinct()
+            # both endpoints constant (ASK-style): 0-column solutions
+            return (reach.filter(F.col("n") == F.lit(other))
+                    .select().distinct())
+        # var-var (or repeated-var) pattern: bind against the full
+        # path edge relation
         part = path_edges(triples, p_term)
         proj, filters, seen = [], [], {}
         for pos, term in zip(("s", "o"), (s_term, o_term)):
             col = F.col(pos)
-            if isinstance(term, tuple) and term[0] == "var":
-                name = term[1]
-                if name in seen:
-                    filters.append(col == F.col(seen[name]))
-                else:
-                    seen[name] = pos
-                    proj.append(col.alias(name))
+            name = _check_var_name(term[1])
+            if name in seen:
+                filters.append(col == F.col(seen[name]))
             else:
-                filters.append(col == F.lit(term))
+                seen[name] = pos
+                proj.append(col.alias(name))
         for f in filters:
             part = part.filter(f)
         return part.select(*proj).distinct()
@@ -186,7 +342,7 @@ def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
     for pos, term in zip(_POSITIONS, s_p_o):
         col = F.col(pos)
         if isinstance(term, tuple) and term[0] == "var":
-            name = term[1]
+            name = _check_var_name(term[1])
             if name in seen:
                 # same variable twice in one pattern → equality
                 filters.append(col == F.col(seen[name]))
@@ -226,13 +382,31 @@ def _join_patterns(triples: DataFrame, patterns) -> DataFrame:
             # metadata columns never act as join keys, and the first
             # binding's metadata wins on re-binds
             dup_meta = [c for c in part.columns
-                        if "__" in c and c in out.columns]
+                        if _is_meta(c) and c in out.columns]
             if dup_meta:
                 part = part.drop(*dup_meta)
             shared = [c for c in part.columns
-                      if c in out.columns and "__" not in c]
+                      if c in out.columns and not _is_meta(c)]
             out = out.join(part, shared) if shared else out.crossJoin(part)
     return out
+
+
+def _group_df(triples: DataFrame, group) -> DataFrame:
+    """A sub-group (OPTIONAL / MINUS / FILTER [NOT] EXISTS operand):
+    either a plain pattern list, or a dict with ``patterns`` plus
+    group-scoped ``filters`` (Column predicates or SQL strings applied
+    INSIDE the group, before it joins the outer solutions — correct
+    when the filter only references the group's own variables; the
+    SPARQL front end validates that scope)."""
+    if isinstance(group, dict):
+        patterns = group.get("patterns") or []
+        filters = group.get("filters") or ()
+    else:
+        patterns, filters = group, ()
+    df = _join_patterns(triples, patterns)
+    for flt in filters:
+        df = df.filter(flt)
+    return df
 
 
 def bgp_union(triples: DataFrame, groups, select=None) -> DataFrame:
@@ -301,16 +475,16 @@ def bgp_select(triples: DataFrame, patterns, select=None,
     for flt in (filters or ()):
         out = out.filter(flt)
     for group in (optional or ()):
-        opt = _join_patterns(triples, group)
+        opt = _group_df(triples, group)
         dup_meta = [c for c in opt.columns
-                    if "__" in c and c in out.columns]
+                    if _is_meta(c) and c in out.columns]
         if dup_meta:
             opt = opt.drop(*dup_meta)
         shared = [c for c in opt.columns
-                  if c in required_vars and "__" not in c]
+                  if c in required_vars and not _is_meta(c)]
         extra = [c for c in opt.columns
                  if c in out.columns and c not in required_vars
-                 and "__" not in c]
+                 and not _is_meta(c)]
         if extra:
             raise ValueError(
                 "OPTIONAL group shares variables %s bound only by an "
@@ -322,16 +496,16 @@ def bgp_select(triples: DataFrame, patterns, select=None,
                              "with the required patterns")
         out = out.join(opt, shared, "left")
     for group in (minus or ()):
-        neg = _join_patterns(triples, group)
+        neg = _group_df(triples, group)
         shared = [c for c in neg.columns
-                  if c in out.columns and "__" not in c]
+                  if c in out.columns and not _is_meta(c)]
         if shared:
             out = out.join(neg.select(*shared), shared, "left_anti")
         # no shared variables → MINUS removes nothing (SPARQL spec)
     for group in (not_exists or ()):
-        neg = _join_patterns(triples, group)
+        neg = _group_df(triples, group)
         shared = [c for c in neg.columns
-                  if c in out.columns and "__" not in c]
+                  if c in out.columns and not _is_meta(c)]
         if shared:
             out = out.join(neg.select(*shared), shared, "left_anti")
         else:
@@ -339,9 +513,9 @@ def bgp_select(triples: DataFrame, patterns, select=None,
             # empties the solution set (anti join on a TRUE condition)
             out = out.join(neg.limit(1), F.lit(True), "left_anti")
     for group in (exists or ()):
-        pos = _join_patterns(triples, group)
+        pos = _group_df(triples, group)
         shared = [c for c in pos.columns
-                  if c in out.columns and "__" not in c]
+                  if c in out.columns and not _is_meta(c)]
         if shared:
             # FILTER EXISTS: keep solutions with a compatible match
             out = out.join(pos.select(*shared), shared, "left_semi")
@@ -352,7 +526,7 @@ def bgp_select(triples: DataFrame, patterns, select=None,
     else:
         # metadata rides along for FILTER/BIND only — never part of
         # the solution (set semantics are over the lexical bindings)
-        meta = [c for c in out.columns if "__" in c]
+        meta = [c for c in out.columns if _is_meta(c)]
         if meta:
             out = out.drop(*meta)
     out = out.distinct()

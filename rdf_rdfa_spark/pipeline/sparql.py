@@ -69,6 +69,23 @@ _TOKEN_RE = re.compile(r"""
 """, re.X)
 
 
+_ECHARS = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f"}
+
+
+def _echar(m: re.Match) -> str:
+    """SPARQL ECHAR unescape: \\n is a newline (not the letter n);
+    \\\\ / \\" / \\' map to themselves."""
+    return _ECHARS.get(m.group(1), m.group(1))
+
+
+def _sql_str(val: str) -> str:
+    """Embed a literal string into Spark SQL text: backslashes must be
+    doubled BEFORE quote-escaping (Spark interprets backslash escapes
+    in string literals — an unescaped trailing backslash would eat the
+    closing quote)."""
+    return "'%s'" % val.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _tokenize(text: str):
     out = []
     pos = 0
@@ -86,7 +103,7 @@ def _tokenize(text: str):
             out.append(("var", m.group("var")[1:]))
         elif m.group("string"):
             raw = m.group("string")[1:-1]
-            out.append(("string", re.sub(r"\\(.)", r"\1", raw)))
+            out.append(("string", re.sub(r"\\(.)", _echar, raw)))
         elif m.group("langdt"):
             out.append(("langdt", m.group("langdt")))
         elif m.group("number"):
@@ -300,19 +317,20 @@ class _Parser:
                 g["union"] = [s_["patterns"] for s_ in sub]
             elif self.at_word("OPTIONAL"):
                 self.next()
-                g["optional"].append(self.parse_group()["patterns"])
+                g["optional"].append(self._sub_group("OPTIONAL"))
             elif self.at_word("MINUS"):
                 self.next()
-                g["minus"].append(self.parse_group()["patterns"])
+                g["minus"].append(self._sub_group("MINUS"))
             elif self.at_word("FILTER"):
                 self.next()
                 if self.at_word("NOT"):
                     self.next()
                     self.eat_word("EXISTS")
-                    g["not_exists"].append(self.parse_group()["patterns"])
+                    g["not_exists"].append(
+                        self._sub_group("FILTER NOT EXISTS"))
                 elif self.at_word("EXISTS"):
                     self.next()
-                    g["exists"].append(self.parse_group()["patterns"])
+                    g["exists"].append(self._sub_group("FILTER EXISTS"))
                 else:
                     g["filters"].append(self.parse_expr_sql())
             elif self.at_word("BIND"):
@@ -332,6 +350,27 @@ class _Parser:
                 self.parse_triples(g["patterns"])
         self.eat_op("}")
         return g
+
+    def _sub_group(self, kw: str):
+        """An OPTIONAL / MINUS / FILTER [NOT] EXISTS operand group:
+        triple patterns plus group-scoped FILTER expressions.  Any
+        other feature nested inside (BIND, VALUES, UNION, nested
+        OPTIONAL/MINUS/EXISTS) raises rather than being silently
+        dropped.  Group filters may reference only the group's OWN
+        variables — filtering the group before it joins the outer
+        solutions is only equivalent under that scope, so references
+        to outer variables raise too."""
+        sub = self.parse_group()
+        if (sub["union"] is not None or sub["bind"] or sub["values"]
+                or any(sub[k] for k in
+                       ("optional", "minus", "not_exists", "exists"))):
+            raise SparqlSyntaxError(
+                "%s group supports only triple patterns and FILTER "
+                "expressions over the group's own variables" % kw)
+        if not sub["filters"]:
+            return sub["patterns"]
+        _validate_filter_scope(sub["filters"], sub["patterns"], kw)
+        return {"patterns": sub["patterns"], "filters": sub["filters"]}
 
     def _parse_values(self):
         names = []
@@ -401,13 +440,13 @@ class _Parser:
             if kind == "var":
                 parts.append("`%s`" % val)
             elif kind == "string":
-                parts.append("'%s'" % val.replace("'", "\\'"))
+                parts.append(_sql_str(val))
             elif kind == "number":
                 parts.append(val)
             elif kind == "iri":
-                parts.append("'%s'" % val)
+                parts.append(_sql_str(val))
             elif kind == "pname":
-                parts.append("'%s'" % self._pname_iri(val))
+                parts.append(_sql_str(self._pname_iri(val)))
             elif kind == "op":
                 parts.append({"&&": "AND", "||": "OR", "!": "NOT ",
                               "=": "="}.get(val, val))
@@ -429,8 +468,8 @@ class _Parser:
                         if fk == "string" and "i" in fv:
                             flags = "(?i)"
                     self.eat_op(")")
-                    parts.append("%s RLIKE '%s'" % (
-                        target, (flags + pv).replace("'", "\\'")))
+                    parts.append("%s RLIKE %s" % (
+                        target, _sql_str(flags + pv)))
                 elif up == "STR":
                     self.eat_op("(")
                     parts.append(self._simple_operand())
@@ -470,7 +509,7 @@ class _Parser:
         if kind == "var":
             return "`%s`" % val
         if kind == "string":
-            return "'%s'" % val.replace("'", "\\'")
+            return _sql_str(val)
         if kind == "number":
             return val
         raise SparqlSyntaxError("expected simple operand, got %r" % val)
@@ -482,7 +521,12 @@ class _Parser:
             return self._parse_select()
         if self.at_word("ASK"):
             self.next()
-            return {"form": "ask", "group": self.parse_group()}
+            q = {"form": "ask", "group": self.parse_group()}
+            if self.peek()[0] != "eof":
+                raise SparqlSyntaxError(
+                    "trailing tokens after ASK group at %r"
+                    % (self.peek()[1],))
+            return q
         if self.at_word("CONSTRUCT"):
             self.next()
             tmpl_group: list = []
@@ -563,18 +607,17 @@ class _Parser:
         q["order"] = order
         q["limit"] = None
         q["offset"] = 0
-        if self.at_word("LIMIT"):
-            self.next()
+        # LimitOffsetClauses: either order, each at most once
+        seen_mods = set()
+        while self.at_word("LIMIT", "OFFSET"):
+            word = self.next()[1].upper()
+            if word in seen_mods:
+                raise SparqlSyntaxError("duplicate %s clause" % word)
+            seen_mods.add(word)
             kind, n = self.next()
             if kind != "number":
-                raise SparqlSyntaxError("LIMIT needs a number")
-            q["limit"] = int(n)
-        if self.at_word("OFFSET"):
-            self.next()
-            kind, n = self.next()
-            if kind != "number":
-                raise SparqlSyntaxError("OFFSET needs a number")
-            q["offset"] = int(n)
+                raise SparqlSyntaxError("%s needs a number" % word)
+            q["limit" if word == "LIMIT" else "offset"] = int(n)
         if self.peek()[0] != "eof":
             raise SparqlSyntaxError(
                 "trailing tokens at %r" % (self.peek()[1],))
@@ -582,6 +625,66 @@ class _Parser:
 
 _AGG_FNS = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min,
             "MAX": F.max, "AVG": F.avg}
+
+# backticked identifiers as parse_expr_sql emits them — the compiled
+# SQL is scanned (rather than the parser threading state) to validate
+# variable scope before Spark would raise an opaque unresolved-column
+# AnalysisException
+_IDENT_RE = re.compile(r"`([^`]+)`")
+_META_SFX = ("__lang", "__dt", "__kind")
+
+
+def _pattern_var_info(patterns):
+    """→ (all_vars, meta_vars): every variable the patterns bind, and
+    the subset bound in OBJECT position by a plain (non-path) triple
+    pattern — only those carry the lang/datatype/obj_kind term
+    metadata that LANG()/DATATYPE()/isIRI() read."""
+    all_vars: set = set()
+    meta_vars: set = set()
+    for pat in patterns:
+        s, p, o = pat[0], pat[1], pat[2]
+        for pos, t in zip("spo", (s, p, o)):
+            if isinstance(t, tuple) and t[0] == "var":
+                all_vars.add(t[1])
+                if pos == "o" and not isinstance(p, Path):
+                    meta_vars.add(t[1])
+    return all_vars, meta_vars
+
+
+def _validate_filter_scope(filters, patterns, where, extra_vars=(),
+                           have_meta=True):
+    """Raise SparqlSyntaxError when a compiled FILTER/BIND expression
+    references a variable the given patterns don't bind, or a term-
+    metadata function on a variable without metadata (bound by a
+    property path, in subject/predicate position, or over a store
+    without lang/datatype/obj_kind columns)."""
+    all_vars, meta_vars = _pattern_var_info(patterns)
+    all_vars |= set(extra_vars)
+    for sql in filters:
+        for ident in _IDENT_RE.findall(sql):
+            base = None
+            for sfx in _META_SFX:
+                if ident.endswith(sfx):
+                    base = ident[: -len(sfx)]
+                    break
+            if base is not None:
+                if not have_meta:
+                    raise SparqlSyntaxError(
+                        "LANG()/DATATYPE()/isIRI()/isLiteral()/"
+                        "isBlank() in %s: the store has no lang/"
+                        "datatype/obj_kind metadata columns" % where)
+                if base not in meta_vars:
+                    raise SparqlSyntaxError(
+                        "LANG()/DATATYPE()/isIRI()/isLiteral()/"
+                        "isBlank() on ?%s in %s: the variable is not "
+                        "bound in object position by a plain triple "
+                        "pattern (property-path and subject/predicate "
+                        "bindings carry no term metadata)"
+                        % (base, where))
+            elif ident not in all_vars:
+                raise SparqlSyntaxError(
+                    "expression in %s references ?%s, which is not "
+                    "bound by the group's own patterns" % (where, ident))
 
 
 def sparql(triples: DataFrame, query: str):
@@ -591,17 +694,31 @@ def sparql(triples: DataFrame, query: str):
     p = _Parser(query)
     q = p.parse_query()
     g = q["group"]
+
+    def _modifiers(out: DataFrame) -> DataFrame:
+        order = q.get("order") or ()
+        if order:
+            out = out.orderBy(*[F.col(v).desc() if d else F.col(v)
+                                for v, d in order])
+        if q.get("offset"):
+            out = out.offset(q["offset"])
+        if q.get("limit") is not None:
+            out = out.limit(q["limit"])
+        return out
+
     if g["union"] is not None:
         if g["patterns"] or q["form"] != "select":
             raise SparqlSyntaxError(
                 "UNION is supported as the entire SELECT body")
-        out = bgp_union(triples, g["union"], select=q.get("vars"))
-        if q.get("order"):
-            out = out.orderBy(*[F.col(v).desc() if d else F.col(v)
-                                for v, d in q["order"]])
-        if q.get("limit") is not None:
-            out = out.limit(q["limit"])
-        return out
+        return _modifiers(
+            bgp_union(triples, g["union"], select=q.get("vars")))
+    extra = set(g["bind"]) | (set(g["values"][0]) if g["values"]
+                              else set())
+    store_meta = all(c in triples.columns
+                     for c in ("lang", "datatype", "obj_kind"))
+    _validate_filter_scope(list(g["filters"]) + list(g["bind"].values()),
+                           g["patterns"], "WHERE", extra_vars=extra,
+                           have_meta=store_meta)
     kwargs = dict(
         filters=[F.expr(e) for e in g["filters"]],
         optional=g["optional"], minus=g["minus"],
@@ -616,25 +733,16 @@ def sparql(triples: DataFrame, query: str):
     order_cols = [F.col(v).desc() if d else F.col(v)
                   for v, d in q.get("order", [])]
     if q["form"] == "construct":
-        out = bgp_construct(triples, g["patterns"], q["template"],
-                            **kwargs)
-        if order_cols:
-            out = out.orderBy(*order_cols)
-        if q.get("limit") is not None:
-            out = out.limit(q["limit"])
-        return out
+        return _modifiers(bgp_construct(triples, g["patterns"],
+                                        q["template"], **kwargs))
     if q["aggs"]:
         aggs = {}
         for out_name, (fn, arg) in q["aggs"].items():
             aggs[out_name] = (F.count("*") if arg == "*"
                               else _AGG_FNS[fn](arg))
-        out = bgp_aggregate(triples, g["patterns"],
-                            group_by=q["group_by"], aggs=aggs, **kwargs)
-        if order_cols:
-            out = out.orderBy(*order_cols)
-        if q.get("limit") is not None:
-            out = out.limit(q["limit"])
-        return out
+        return _modifiers(
+            bgp_aggregate(triples, g["patterns"],
+                          group_by=q["group_by"], aggs=aggs, **kwargs))
     if q.get("offset"):
         out = bgp_select(triples, g["patterns"], select=q.get("vars"),
                          order_by=order_cols or None, **kwargs)

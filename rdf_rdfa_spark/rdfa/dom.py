@@ -688,26 +688,68 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
         c = text[lt + 1 : lt + 2]
         m = None
         kind = 0
+        # every token kind except unterminated comments/CDATA (whose
+        # regexes end with an $ fallback) needs a '>' ahead; probing
+        # with memchr FIRST keeps a hostile no-'>' tail from feeding
+        # the tag regexes — the start-tag name class admits '<', so
+        # '<div<div<div…' with no '>' is a catastrophic-backtracking
+        # bomb (measured minutes for 80 KB) without this guard
         if c:
             if c.isalpha():
-                m = start_match(text, lt)
+                if find(">", lt + 1) != -1:
+                    m = start_match(text, lt)
                 kind = 1
             elif c == "/":
-                m = end_match(text, lt)
+                if find(">", lt + 1) != -1:
+                    m = end_match(text, lt)
                 kind = 2
             elif c == "!":
-                m = bang_match(text, lt)
+                if (find(">", lt + 1) != -1
+                        or text.startswith("<!--", lt)
+                        or text.startswith("<![CDATA[", lt)):
+                    m = bang_match(text, lt)
                 kind = 3
             elif c == "?":
-                m = pi_match(text, lt)
+                if find(">", lt + 1) != -1:
+                    m = pi_match(text, lt)
                 kind = 4
         if m is None:
             # stray '<' that opens no token: emit as text. A '<' that
             # LOOKS like a tag opener but never terminates is the
-            # malformed-markup signal Nokogiri reports as a doc error.
+            # malformed-markup signal Nokogiri reports as a doc error
+            # (error list capped: a hostile page can carry millions).
             if c and (c.isalpha() or c in "/!"):
-                tb.errors.append(
-                    "malformed tag at offset %d: %r" % (lt, text[lt : lt + 24]))
+                if len(tb.errors) < 1000:
+                    tb.errors.append(
+                        "malformed tag at offset %d: %r"
+                        % (lt, text[lt : lt + 24]))
+            if c and find(">", lt + 1) < 0:
+                # no '>' remains, so no start/end/PI token can ever
+                # terminate — without this bulk path each of the
+                # (possibly 10⁵) remaining stray '<'s would rescan to
+                # EOF inside a failing regex: O(n²) on hostile input.
+                # Only unterminated comments/CDATA are still matchable
+                # (their regexes have an $ fallback); jump straight to
+                # the next candidate, emitting everything before it as
+                # one text node (text nodes coalesce, so this is
+                # byte-identical to the char-at-a-time path).
+                nc = find("<!--", lt + 1)
+                ncd = find("<![CDATA[", lt + 1)
+                cands = [x for x in (nc, ncd) if x >= 0]
+                stop = min(cands) if cands else n
+                data = text[lt:stop]
+                if "&" in data:
+                    data = _unescape(data)
+                if stack:
+                    ch = stack[-1].children
+                    if ch and ch[-1].__class__ is str:
+                        ch[-1] += data
+                    else:
+                        ch.append(data)
+                else:
+                    root_children.append(data)
+                pos = stop
+                continue
             if stack:
                 ch = stack[-1].children
                 if ch and ch[-1].__class__ is str:

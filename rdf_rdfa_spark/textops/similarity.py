@@ -112,11 +112,13 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     the bucket column is a partition key of the materialized index —
     the scan prunes to 1/2^n_planes of the corpus per query.
 
-    Pass ``dim`` explicitly (the caller knows its embedding width);
-    the ``.first()`` fallback is a convenience that runs a driver
-    action during plan construction — never use it in pipelines."""
+    ``dim`` is REQUIRED (the caller knows its embedding width): the
+    old ``.first()`` fallback ran a driver action during plan
+    construction, which stalls pipelines and breaks plan-only uses."""
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_ann_topk requires dim (embedding width): probing it "
+            "from the data would run a driver action at plan time")
     planes = hyperplanes(dim, n_planes)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),

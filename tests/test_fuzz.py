@@ -251,3 +251,25 @@ def test_xmlliteral_write_read_fixed_point(frag, lang):
     out2, _, _ = parse_rdfa(html2, url="http://fuzz.example/doc")
     assert out2 == out1, "\n%s\n%s\n%r != %r" % (html, html2,
                                                  sorted(out2), sorted(out1))
+
+
+def test_unterminated_tag_floods_parse_in_linear_time():
+    """A no-'>' tail made the start-tag regex (whose NAME class admits
+    '<') backtrack catastrophically: '<div'*20k took minutes before
+    the memchr('>') guard in _fast_feed.  Pin linear-ish behavior for
+    every token kind, and that a comment opener in the tail is still
+    honored."""
+    import time
+
+    for probe in (b"<div" * 20000, b"</x" * 20000, b"<?p" * 20000,
+                  b"<!x" * 20000, b"<div" * 5000 + b"<!--c" + b"<div" * 5000):
+        t0 = time.time()
+        out, proc, _ = parse_rdfa(probe, url="http://example.org/")
+        assert out == []
+        assert time.time() - t0 < 5.0, "quadratic parse on %r…" % probe[:8]
+    # the bulk text path is byte-identical to the char-at-a-time path:
+    # stray-tag garbage lands in the text, entities still decode
+    doc = '<p property="schema:name">a&amp;b<oops<oops'
+    (triples, _, _) = parse_rdfa(doc, url="http://example.org/")
+    # the unterminated tail swallows the rest of the doc as text
+    assert any("a&b<oops<oops" in t[2] for t in triples), triples

@@ -207,7 +207,8 @@ def test_lsh_ann_reasonable_recall(spark, sf_dir):
     queries = emb.filter("vec_id < 8").selectExpr("vec_id AS qid",
                                                   "embedding AS qvec")
     exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
-    approx = similarity.lsh_ann_topk(emb, queries, k=5, n_planes=4).toPandas()
+    approx = similarity.lsh_ann_topk(emb, queries, k=5, n_planes=4,
+                                     dim=64).toPandas()
     # every query must at least find itself in its own bucket
     for qid in range(8):
         mine = set(approx[approx.qid == qid]["vec_id"])

@@ -204,3 +204,128 @@ def test_tagged_literal_patterns(spark):
     got = {r["x"] for r in sparql(kg, P + """
         SELECT ?x WHERE { ?x s:age "7" }""").collect()}
     assert got == {"c", "d"}
+
+
+def test_optional_group_filter_applies(kg):
+    """OPTIONAL { ... FILTER ... } keeps the filter scoped to the
+    group (was silently dropped before): mirrors filtered away inside
+    the group come back as NULL, not as missing rows."""
+    rows = sparql(kg, P + """
+        SELECT ?d ?m WHERE {
+          ?d s:type "Doc" .
+          OPTIONAL { ?d s:mirror ?m FILTER (?m != "m1") }
+        }""").collect()
+    by_d = {r["d"]: r["m"] for r in rows}
+    assert set(by_d) == {"a", "b", "c"} and by_d["a"] is None
+
+
+def test_not_exists_group_filter(kg):
+    # NOT EXISTS { ?d s:mirror ?m FILTER(?m = "m1") } removes only a
+    got = {r["d"] for r in sparql(kg, P + """
+        SELECT ?d WHERE {
+          ?d s:type "Doc" .
+          FILTER NOT EXISTS { ?d s:mirror ?m FILTER (?m = "m1") }
+        }""").collect()}
+    assert got == {"b", "c"}
+
+
+def test_subgroup_rejects_nested_features(kg):
+    with pytest.raises(SparqlSyntaxError, match="OPTIONAL group"):
+        sparql(kg, P + """
+            SELECT ?d WHERE {
+              ?d s:type "Doc" .
+              OPTIONAL { ?d s:mirror ?m BIND(?m AS ?n) }
+            }""")
+    with pytest.raises(SparqlSyntaxError, match="MINUS group"):
+        sparql(kg, P + """
+            SELECT ?d WHERE {
+              ?d s:type "Doc" .
+              MINUS { ?d s:mirror ?m OPTIONAL { ?m s:label ?l } }
+            }""")
+
+
+def test_subgroup_filter_outer_var_raises(kg):
+    # a group filter referencing an OUTER variable cannot be compiled
+    # as filter-inside-group — raise instead of silently diverging
+    with pytest.raises(SparqlSyntaxError, match="not bound by the group"):
+        sparql(kg, P + """
+            SELECT ?d WHERE {
+              ?d s:type "Doc" ; s:label ?l .
+              MINUS { ?d s:mirror ?m FILTER (?l = "Apple") }
+            }""")
+
+
+def test_ask_trailing_tokens_raise(kg):
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        sparql(kg, P + 'ASK { ?x s:mirror ?m } LIMIT 3')
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        sparql(kg, P + 'ASK { ?x s:mirror ?m } garbage garbage')
+
+
+def test_offset_on_aggregates_and_construct(kg):
+    # OFFSET was silently dropped for aggregate/construct forms
+    rows = sparql(kg, P + """
+        SELECT ?t (COUNT(*) AS ?n) WHERE { ?x s:type ?t }
+        GROUP BY ?t ORDER BY ?t OFFSET 1""").collect()
+    assert rows == []  # only one type group, offset past it
+    rows = sparql(kg, P + """
+        CONSTRUCT { ?x s:kind "doc" } WHERE { ?x s:type "Doc" }
+        ORDER BY ?x OFFSET 2 LIMIT 2""").collect()
+    assert [r["subj"] for r in rows] == ["c"]
+
+
+def test_backslash_string_literals(spark):
+    kg2 = spark.createDataFrame(
+        [("a", S + "path", "C:\\temp"), ("b", S + "path", "C:/tmp")],
+        "subj string, pred string, obj string")
+    # FILTER comparison against a backslash-bearing literal ("C:\\temp"
+    # in SPARQL source = C:\temp) survives the SQL embedding
+    got = {r["x"] for r in sparql(kg2, P + """
+        SELECT ?x WHERE { ?x s:path ?v . FILTER (?v = "C:\\\\temp") }
+    """).collect()}
+    assert got == {"a"}
+    # and a trailing backslash doesn't eat the closing SQL quote
+    got = {r["x"] for r in sparql(kg2, P + """
+        SELECT ?x WHERE { ?x s:path ?v . FILTER (STRSTARTS(?v, "C:\\\\")) }
+    """).collect()}
+    assert got == {"a"}
+    # SPARQL ECHARs decode per spec: \\t is a TAB, not the letter t
+    kg3 = kg2.sparkSession.createDataFrame(
+        [("t", S + "path", "a\tb")],
+        "subj string, pred string, obj string")
+    got = {r["x"] for r in sparql(kg3, P + """
+        SELECT ?x WHERE { ?x s:path "a\\tb" }""").collect()}
+    assert got == {"t"}
+
+
+def test_metadata_fn_on_path_var_raises(spark):
+    kg = spark.createDataFrame(
+        [("a", S + "next", "b", "iri", None, None),
+         ("b", S + "next", "c", "iri", None, None)],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, datatype string")
+    with pytest.raises(SparqlSyntaxError, match="no term metadata"):
+        sparql(kg, P + """
+            SELECT ?y WHERE { ?x s:next+ ?y . FILTER (isIRI(?y)) }""")
+
+
+def test_metadata_fn_without_store_columns_raises(kg):
+    # the module-level kg fixture has no lang/datatype/obj_kind cols
+    with pytest.raises(SparqlSyntaxError, match="no lang"):
+        sparql(kg, P + """
+            SELECT ?l WHERE { ?d s:label ?l . FILTER (LANG(?l) = "en") }""")
+
+
+def test_filter_unknown_var_raises(kg):
+    with pytest.raises(SparqlSyntaxError, match="not bound"):
+        sparql(kg, P + """
+            SELECT ?d WHERE { ?d s:type "Doc" . FILTER (?nope = 1) }""")
+
+
+def test_sparql_seeded_path_constant_subject(kg):
+    got = {r["y"] for r in sparql(
+        kg, P + 'SELECT ?y WHERE { "a" s:next+ ?y }').collect()}
+    assert got == {"b", "c"}
+    got = {r["x"] for r in sparql(
+        kg, P + 'SELECT ?x WHERE { ?x s:next* "c" }').collect()}
+    assert got == {"a", "b", "c"}
