@@ -279,6 +279,22 @@ def q_kg_sparql_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         }""")
 
 
+def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-scoped SPARQL: per-predicate counts of the PROCESSOR
+    graph (the store routes processor diagnostics to a named graph
+    exactly like the reference's rdfagraph option,
+    reader.rb:311-317,459-466) — querying diagnostics no longer needs
+    manual DataFrame filtering."""
+    from rdf_rdfa_spark.pipeline.sparql import sparql
+
+    pages = corpus.pages_df(spark, sf_dir)
+    triples = extract_triples(pages, include_processor=True)
+    return sparql(triples, """
+        SELECT ?p (COUNT(*) AS ?n) WHERE {
+          GRAPH <processor> { ?s ?p ?w }
+        } GROUP BY ?p""")
+
+
 def q_kg_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregate over the KG: Articles per genre (GROUP BY +
     COUNT over the distinct solution set; map-side partial agg)."""
@@ -606,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_meta": q_kg_sparql_meta,
+        "kg_sparql_graph": q_kg_sparql_graph,
         "entail_classes": q_entail_classes,
         "entail_props": q_entail_props,
         "entity_link_sameas": q_entity_link_sameas,
@@ -1425,6 +1442,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT subj AS d, pred AS p, obj AS v FROM (%s) "
             "WHERE datatype = 'http://www.w3.org/2001/XMLSchema#integer'"
             " OR lang = 'en'" % triples),
+        # GRAPH <processor> scoping ≡ the processor-counts oracle
+        # (distinct (s,p,o) = raw counts: processor bnodes are
+        # skolemized per document, so nothing collapses)
+        "kg_sparql_graph": _PROCESSOR_COUNTS_SQL.replace(
+            "SELECT pred, n FROM", "SELECT pred AS p, n FROM"),
         "entail_classes": _ENTAIL_CLASSES_SQL,
         "entail_props": _ENTAIL_PROPS_SQL,
         "entity_link_sameas": _ENTITY_LINK_SQL,

@@ -294,8 +294,29 @@ def _check_var_name(name: str) -> str:
 
 
 def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
-    s_term, p_term, o_term = s_p_o
+    """A pattern is (s, p, o) or (s, p, o, g): the optional 4th term
+    scopes the pattern to the store's ``graph`` column (SPARQL GRAPH —
+    the store routes processor diagnostics to a named graph exactly
+    like the reference's rdfagraph option, reader.rb:311-317,459-466).
+    A graph VAR binds the column; a constant filters it."""
+    g_term = None
+    if len(s_p_o) == 4:
+        s_term, p_term, o_term, g_term = s_p_o
+    else:
+        s_term, p_term, o_term = s_p_o
+    if g_term is not None and "graph" not in triples.columns:
+        raise ValueError(
+            "graph-scoped pattern needs a 'graph' column in the store")
     if isinstance(p_term, Path):
+        if g_term is not None:
+            if isinstance(g_term, tuple):
+                raise ValueError(
+                    "GRAPH variable over a property-path pattern is "
+                    "not supported — scope the path to a constant "
+                    "graph (the path edge relation carries no graph "
+                    "column)")
+            # evaluate the whole path WITHIN the named graph
+            triples = triples.filter(F.col("graph") == g_term)
         for term in (s_term, o_term):
             if isinstance(term, tuple) and term[0] == "lit":
                 raise ValueError(
@@ -339,7 +360,8 @@ def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
         return part.select(*proj).distinct()
     proj, filters, seen = [], [], {}
     have_meta = all(src in triples.columns for src, _sfx in _META_SRC)
-    for pos, term in zip(_POSITIONS, s_p_o):
+    positions = _POSITIONS if g_term is None else _POSITIONS + ("graph",)
+    for pos, term in zip(positions, s_p_o):
         col = F.col(pos)
         if isinstance(term, tuple) and term[0] == "var":
             name = _check_var_name(term[1])

@@ -11,6 +11,9 @@ plans — this module only builds ASTs):
     ``p*``, parentheses
   - OPTIONAL { }, MINUS { }, FILTER [NOT] EXISTS { },
     ``{ } UNION { }`` (of plain pattern groups)
+  - GRAPH <iri> { } / GRAPH ?g { }: scopes patterns to the store's
+    ``graph`` column (output vs processor diagnostics, mirroring the
+    reference's rdfagraph routing, reader.rb:311-317,459-466)
   - FILTER expressions over bound variables (comparisons, &&/||/!,
     REGEX → RLIKE, STRLEN/CONTAINS/STRSTARTS/STRENDS/UCASE/LCASE/STR)
   - BIND(expr AS ?v), VALUES ?v { ... } / VALUES (?a ?b) { (..) .. }
@@ -315,6 +318,42 @@ class _Parser:
                         raise SparqlSyntaxError(
                             "UNION arms must be plain pattern groups")
                 g["union"] = [s_["patterns"] for s_ in sub]
+            elif self.at_word("GRAPH"):
+                self.next()
+                kind, val = self.peek()
+                if kind == "var":
+                    self.next()
+                    gterm = var(val)
+                elif kind == "iri":
+                    self.next()
+                    gterm = val
+                elif kind == "pname":
+                    self.next()
+                    gterm = self._pname_iri(val)
+                else:
+                    raise SparqlSyntaxError(
+                        "GRAPH needs an <iri>, prefixed name, or ?var")
+                sub = self.parse_group()
+                if (sub["union"] is not None or sub["bind"]
+                        or sub["values"]
+                        or any(sub[k] for k in
+                               ("optional", "minus", "not_exists",
+                                "exists"))):
+                    raise SparqlSyntaxError(
+                        "GRAPH group supports only triple patterns "
+                        "and FILTER expressions")
+                if sub["filters"]:
+                    # graph-group patterns hoist into the outer group
+                    # (conjunctive), so a filter over THEIR variables
+                    # hoists equivalently
+                    _validate_filter_scope(sub["filters"],
+                                           sub["patterns"], "GRAPH")
+                    g["filters"].extend(sub["filters"])
+                for pat in sub["patterns"]:
+                    if len(pat) == 4:
+                        raise SparqlSyntaxError(
+                            "nested GRAPH groups are not supported")
+                    g["patterns"].append((pat[0], pat[1], pat[2], gterm))
             elif self.at_word("OPTIONAL"):
                 self.next()
                 g["optional"].append(self._sub_group("OPTIONAL"))
@@ -642,8 +681,8 @@ def _pattern_var_info(patterns):
     all_vars: set = set()
     meta_vars: set = set()
     for pat in patterns:
-        s, p, o = pat[0], pat[1], pat[2]
-        for pos, t in zip("spo", (s, p, o)):
+        p = pat[1]
+        for pos, t in zip("spog", pat):
             if isinstance(t, tuple) and t[0] == "var":
                 all_vars.add(t[1])
                 if pos == "o" and not isinstance(p, Path):

@@ -329,3 +329,54 @@ def test_sparql_seeded_path_constant_subject(kg):
     got = {r["x"] for r in sparql(
         kg, P + 'SELECT ?x WHERE { ?x s:next* "c" }').collect()}
     assert got == {"a", "b", "c"}
+
+
+def test_graph_clause(spark):
+    kg = spark.createDataFrame(
+        [("a", S + "name", "Anna", "output"),
+         ("b", S + "name", "Bert", "output"),
+         ("w1", S + "warn", "bad term", "processor"),
+         ("w2", S + "warn", "bad curie", "processor")],
+        "subj string, pred string, obj string, graph string")
+    # constant graph scoping
+    got = {r["o"] for r in sparql(kg, P + """
+        SELECT ?o WHERE { GRAPH <processor> { ?s s:warn ?o } }""").collect()}
+    assert got == {"bad term", "bad curie"}
+    # graph variable binds the column
+    got = {(r["g"], r["n"]) for r in sparql(kg, P + """
+        SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+        GROUP BY ?g""").collect()}
+    assert got == {("output", 2), ("processor", 2)}
+    # graph-scoped group may carry a scoped FILTER (hoisted)
+    got = {r["o"] for r in sparql(kg, P + """
+        SELECT ?o WHERE {
+          GRAPH <processor> { ?s s:warn ?o FILTER (CONTAINS(?o, "term")) }
+        }""").collect()}
+    assert got == {"bad term"}
+    # mixing default-graph and GRAPH-scoped patterns joins across
+    got = {r["s"] for r in sparql(kg, P + """
+        SELECT ?s WHERE { ?s s:name ?n . GRAPH <output> { ?s ?p ?n } }
+    """).collect()}
+    assert got == {"a", "b"}
+
+
+def test_graph_clause_rejects(spark):
+    kg = spark.createDataFrame(
+        [("a", S + "p", "b", "output")],
+        "subj string, pred string, obj string, graph string")
+    with pytest.raises(SparqlSyntaxError, match="GRAPH group"):
+        sparql(kg, P + """
+            SELECT ?s WHERE { GRAPH ?g { ?s s:p ?o
+              OPTIONAL { ?o s:p ?x } } }""")
+    # GRAPH var over a property path: constant graphs only
+    with pytest.raises(ValueError, match="constant graph"):
+        sparql(kg, P + "SELECT ?s WHERE { GRAPH ?g { ?s s:p+ ?o } }")
+    # path WITHIN a constant graph works
+    got = {r["o"] for r in sparql(kg, P + """
+        SELECT ?o WHERE { GRAPH <output> { "a" s:p+ ?o } }""").collect()}
+    assert got == {"b"}
+    # store without a graph column
+    kg2 = spark.createDataFrame([("a", S + "p", "b")],
+                                "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="graph"):
+        sparql(kg2, P + "SELECT ?s WHERE { GRAPH ?g { ?s s:p ?o } }")
