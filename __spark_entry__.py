@@ -295,6 +295,26 @@ def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         } GROUP BY ?p""")
 
 
+def q_kg_sparql_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery + HAVING: genres with ≥ 3 mirrored articles
+    (inner { SELECT ... GROUP BY ... HAVING }), then every article of
+    those genres — the 'top genre, then its docs' shape from the
+    round-4 verdict.  The subquery compiles bottom-up to an aggregate
+    plan (HAVING as a hidden count column, dropped after the filter)
+    and joins the outer patterns on ?g."""
+    from rdf_rdfa_spark.pipeline.sparql import sparql
+
+    triples = q_rdfa_extract(spark, sf_dir)
+    return sparql(triples, """
+        PREFIX schema: <http://schema.org/>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?d ?g WHERE {
+          ?d rdf:type schema:Article ; schema:genre ?g .
+          { SELECT ?g WHERE { ?x schema:genre ?g ; schema:sameAs ?m }
+            GROUP BY ?g HAVING (COUNT(*) >= 3) }
+        } ORDER BY ?d ?g LIMIT 120""")
+
+
 def q_kg_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregate over the KG: Articles per genre (GROUP BY +
     COUNT over the distinct solution set; map-side partial agg)."""
@@ -623,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql": q_kg_sparql,
         "kg_sparql_meta": q_kg_sparql_meta,
         "kg_sparql_graph": q_kg_sparql_graph,
+        "kg_sparql_sub": q_kg_sparql_sub,
         "entail_classes": q_entail_classes,
         "entail_props": q_entail_props,
         "entity_link_sameas": q_entity_link_sameas,
@@ -1398,6 +1419,28 @@ LEFT JOIN t p2 ON p2.subj = p1.subj
 WHERE p1.pred = '{rdf_type}' AND p1.obj = 'http://schema.org/Article'
 """
 
+_KG_SPARQL_SUB_SQL = """
+WITH t AS ({t}),
+sol AS (
+  SELECT DISTINCT p1.subj AS d, p3.obj AS g
+  FROM t p1
+  JOIN t p3 ON p3.subj = p1.subj AND p3.pred = 'http://schema.org/genre'
+  WHERE p1.pred = '{rdf_type}' AND p1.obj = 'http://schema.org/Article'
+),
+mg AS (
+  -- the engine's subquery counts over its DISTINCT (x, g, m)
+  -- solution set; replay exactly
+  SELECT g FROM (
+    SELECT DISTINCT p1.subj AS x, p1.obj AS g, p2.obj AS m
+    FROM t p1
+    JOIN t p2 ON p2.subj = p1.subj
+             AND p2.pred = 'http://schema.org/sameAs'
+    WHERE p1.pred = 'http://schema.org/genre'
+  ) GROUP BY g HAVING COUNT(*) >= 3
+)
+SELECT d, g FROM sol JOIN mg USING (g) ORDER BY d, g LIMIT 120
+"""
+
 _KG_BGP_MINUS_SQL = """
 WITH t AS ({t})
 SELECT DISTINCT p1.subj AS d, p3.obj AS g
@@ -1445,6 +1488,8 @@ def oracle_sql() -> dict[str, str]:
         # GRAPH <processor> scoping ≡ the processor-counts oracle
         # (distinct (s,p,o) = raw counts: processor bnodes are
         # skolemized per document, so nothing collapses)
+        "kg_sparql_sub": _KG_SPARQL_SUB_SQL.format(t=triples,
+                                                   rdf_type=_RDF_TYPE),
         "kg_sparql_graph": _PROCESSOR_COUNTS_SQL.replace(
             "SELECT pred, n FROM", "SELECT pred AS p, n FROM"),
         "entail_classes": _ENTAIL_CLASSES_SQL,

@@ -445,7 +445,7 @@ def bgp_union(triples: DataFrame, groups, select=None) -> DataFrame:
 def bgp_select(triples: DataFrame, patterns, select=None,
                filters=None, optional=None, minus=None,
                not_exists=None, exists=None, order_by=None, limit=None,
-               values=None, bind=None) -> DataFrame:
+               values=None, bind=None, subselects=None) -> DataFrame:
     """patterns: [(s, p, o)] where each position is a concrete string
     or var('name'). → one column per variable (or ``select``'s subset),
     one row per solution (DISTINCT — set semantics like SPARQL
@@ -477,10 +477,21 @@ def bgp_select(triples: DataFrame, patterns, select=None,
     binding table (broadcast — it is literal data) inner-joined on its
     variables.  ``bind``: SPARQL BIND — dict of new variable name →
     Column expression over the solution columns, applied before
-    ``filters`` so FILTER can reference bound variables."""
-    if not patterns:
+    ``filters`` so FILTER can reference bound variables.
+    ``subselects``: SPARQL subqueries — already-compiled solution
+    DataFrames ({ SELECT ... } groups) inner-joined on their shared
+    variables (evaluated bottom-up per the spec; a subselect sharing
+    no variable cross-joins, like a disjoint pattern group)."""
+    if not patterns and not subselects:
         raise ValueError("empty BGP")
-    out = _join_patterns(triples, patterns)
+    out = _join_patterns(triples, patterns) if patterns else None
+    for sub in (subselects or ()):
+        if out is None:
+            out = sub
+            continue
+        shared = [c for c in sub.columns
+                  if c in out.columns and not _is_meta(c)]
+        out = out.join(sub, shared) if shared else out.crossJoin(sub)
     required_vars = set(out.columns)
     if values is not None:
         names, rows = values

@@ -17,8 +17,11 @@ plans — this module only builds ASTs):
   - FILTER expressions over bound variables (comparisons, &&/||/!,
     REGEX → RLIKE, STRLEN/CONTAINS/STRSTARTS/STRENDS/UCASE/LCASE/STR)
   - BIND(expr AS ?v), VALUES ?v { ... } / VALUES (?a ?b) { (..) .. }
-  - GROUP BY + COUNT/SUM/MIN/MAX/AVG aggregates in the SELECT clause
-  - ORDER BY [ASC|DESC](?v), LIMIT n, OFFSET n
+  - GROUP BY + COUNT/SUM/MIN/MAX/AVG aggregates in the SELECT clause,
+    HAVING over aggregate expressions
+  - subqueries: { SELECT ... } groups, compiled bottom-up and joined
+    with the enclosing group on shared variables
+  - ORDER BY [ASC|DESC](?v), LIMIT n, OFFSET n (either order)
 
 Deliberate scope notes: untagged literals match the store's obj
 column on LEXICAL form; "lit"@lang / "lit"^^dt constants and the
@@ -128,6 +131,9 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        # non-None while parsing a HAVING expression: collects the
+        # aggregate calls it mentions as (placeholder, (fn, arg))
+        self._having_aggs: list | None = None
 
     # -- token helpers ----------------------------------------------
     def peek(self, k=0):
@@ -300,9 +306,17 @@ class _Parser:
         self.eat_op("{")
         g = {"patterns": [], "optional": [], "minus": [],
              "not_exists": [], "exists": [], "filters": [],
-             "bind": {}, "values": None, "union": None}
+             "bind": {}, "values": None, "union": None,
+             "subqueries": []}
         while not self.at_op("}"):
-            if self.at_op("{"):
+            if self.at_op("{") and self.peek(1)[0] == "word" \
+                    and self.peek(1)[1].upper() == "SELECT":
+                # subquery: { SELECT ... } — compiled bottom-up and
+                # joined with the enclosing group on shared variables
+                self.next()
+                g["subqueries"].append(self._parse_select(top=False))
+                self.eat_op("}")
+            elif self.at_op("{"):
                 # UNION of plain groups
                 sub = [self.parse_group()]
                 while self.at_word("UNION"):
@@ -313,8 +327,9 @@ class _Parser:
                                             "(only UNION supported)")
                 for s_ in sub:
                     if any(s_[k] for k in
-                           ("optional", "minus", "not_exists",
-                            "exists", "filters", "bind")) or s_["values"]:
+                           ("optional", "minus", "not_exists", "exists",
+                            "filters", "bind", "subqueries")) \
+                            or s_["values"]:
                         raise SparqlSyntaxError(
                             "UNION arms must be plain pattern groups")
                 g["union"] = [s_["patterns"] for s_ in sub]
@@ -335,7 +350,7 @@ class _Parser:
                         "GRAPH needs an <iri>, prefixed name, or ?var")
                 sub = self.parse_group()
                 if (sub["union"] is not None or sub["bind"]
-                        or sub["values"]
+                        or sub["values"] or sub["subqueries"]
                         or any(sub[k] for k in
                                ("optional", "minus", "not_exists",
                                 "exists"))):
@@ -401,6 +416,7 @@ class _Parser:
         to outer variables raise too."""
         sub = self.parse_group()
         if (sub["union"] is not None or sub["bind"] or sub["values"]
+                or sub["subqueries"]
                 or any(sub[k] for k in
                        ("optional", "minus", "not_exists", "exists"))):
             raise SparqlSyntaxError(
@@ -534,6 +550,23 @@ class _Parser:
                                    "ISLITERAL": "literal",
                                    "ISBLANK": "bnode"}[up]
                         parts.append("(`%s__kind` = '%s')" % (v2, kindval))
+                elif up in _AGG_WORDS and self._having_aggs is not None:
+                    # aggregate call inside HAVING: lower to a
+                    # placeholder column the compiler computes (or
+                    # aliases to the matching SELECT aggregate)
+                    self.eat_op("(")
+                    if self.at_op("*"):
+                        self.next()
+                        arg = "*"
+                    else:
+                        k2, arg = self.next()
+                        if k2 != "var":
+                            raise SparqlSyntaxError(
+                                "aggregate needs ?var or *")
+                    self.eat_op(")")
+                    ph = "__h%d" % len(self._having_aggs)
+                    self._having_aggs.append((ph, (up, arg)))
+                    parts.append("`%s`" % ph)
                 elif up in self._FN_MAP:
                     parts.append(self._FN_MAP[up])
                 elif up in ("TRUE", "FALSE", "AND", "OR", "NOT", "IN"):
@@ -580,7 +613,7 @@ class _Parser:
             return q
         raise SparqlSyntaxError("expected SELECT/ASK/CONSTRUCT")
 
-    def _parse_select(self):
+    def _parse_select(self, top: bool = True):
         self.eat_word("SELECT")
         q = {"form": "select", "distinct": False, "vars": None,
              "aggs": {}, "group_by": []}
@@ -619,15 +652,25 @@ class _Parser:
             q["vars"] = names or None
         self.eat_word("WHERE")
         q["group"] = self.parse_group()
-        self._parse_modifiers(q)
+        self._parse_modifiers(q, expect_eof=top)
         return q
 
-    def _parse_modifiers(self, q):
+    def _parse_modifiers(self, q, expect_eof: bool = True):
+        q.setdefault("group_by", [])
+        q.setdefault("having", None)
         if self.at_word("GROUP"):
             self.next()
             self.eat_word("BY")
             while self.peek()[0] == "var":
                 q["group_by"].append(self.next()[1])
+        if self.at_word("HAVING"):
+            self.next()
+            self._having_aggs = []
+            try:
+                expr = self.parse_expr_sql()
+            finally:
+                aggs, self._having_aggs = self._having_aggs, None
+            q["having"] = (expr, aggs)
         order = []
         if self.at_word("ORDER"):
             self.next()
@@ -657,13 +700,14 @@ class _Parser:
             if kind != "number":
                 raise SparqlSyntaxError("%s needs a number" % word)
             q["limit" if word == "LIMIT" else "offset"] = int(n)
-        if self.peek()[0] != "eof":
+        if expect_eof and self.peek()[0] != "eof":
             raise SparqlSyntaxError(
                 "trailing tokens at %r" % (self.peek()[1],))
 
 
 _AGG_FNS = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min,
             "MAX": F.max, "AVG": F.avg}
+_AGG_WORDS = tuple(_AGG_FNS)
 
 # backticked identifiers as parse_expr_sql emits them — the compiled
 # SQL is scanned (rather than the parser threading state) to validate
@@ -726,62 +770,103 @@ def _validate_filter_scope(filters, patterns, where, extra_vars=(),
                     "bound by the group's own patterns" % (where, ident))
 
 
-def sparql(triples: DataFrame, query: str):
-    """Execute a SPARQL query (see module docstring for the subset)
-    over a (subj, pred, obj) triples DataFrame.  Returns a DataFrame
-    for SELECT/CONSTRUCT, bool for ASK."""
-    p = _Parser(query)
-    q = p.parse_query()
-    g = q["group"]
+def _subq_vars(q) -> set:
+    """Best-effort set of variables a subquery projects (for scope
+    validation of outer FILTERs)."""
+    if q["aggs"] or q["group_by"]:
+        return set(q["group_by"]) | set(q["aggs"])
+    if q.get("vars"):
+        return set(q["vars"])
+    all_vars, _ = _pattern_var_info(q["group"]["patterns"])
+    return all_vars
 
-    def _modifiers(out: DataFrame) -> DataFrame:
-        order = q.get("order") or ()
-        if order:
-            out = out.orderBy(*[F.col(v).desc() if d else F.col(v)
-                                for v, d in order])
-        if q.get("offset"):
-            out = out.offset(q["offset"])
-        if q.get("limit") is not None:
-            out = out.limit(q["limit"])
-        return out
 
-    if g["union"] is not None:
-        if g["patterns"] or q["form"] != "select":
-            raise SparqlSyntaxError(
-                "UNION is supported as the entire SELECT body")
-        return _modifiers(
-            bgp_union(triples, g["union"], select=q.get("vars")))
+def _apply_modifiers(out: DataFrame, q) -> DataFrame:
+    order = q.get("order") or ()
+    if order:
+        out = out.orderBy(*[F.col(v).desc() if d else F.col(v)
+                            for v, d in order])
+    if q.get("offset"):
+        out = out.offset(q["offset"])
+    if q.get("limit") is not None:
+        out = out.limit(q["limit"])
+    return out
+
+
+def _group_kwargs(triples: DataFrame, g, store_meta: bool) -> dict:
+    """A parsed group dict → bgp_select keyword arguments (subqueries
+    compiled recursively, filter/bind scope validated)."""
+    subs = [_compile_select(triples, sq, store_meta)
+            for sq in g["subqueries"]]
     extra = set(g["bind"]) | (set(g["values"][0]) if g["values"]
                               else set())
-    store_meta = all(c in triples.columns
-                     for c in ("lang", "datatype", "obj_kind"))
+    for sq in g["subqueries"]:
+        extra |= _subq_vars(sq)
     _validate_filter_scope(list(g["filters"]) + list(g["bind"].values()),
                            g["patterns"], "WHERE", extra_vars=extra,
                            have_meta=store_meta)
-    kwargs = dict(
+    return dict(
         filters=[F.expr(e) for e in g["filters"]],
         optional=g["optional"], minus=g["minus"],
         not_exists=g["not_exists"], exists=g["exists"],
         values=g["values"],
         bind={k: F.expr(v) for k, v in g["bind"].items()},
+        subselects=subs or None,
     )
-    if q["form"] == "ask":
-        from .bgpq import bgp_ask
 
-        return bgp_ask(triples, g["patterns"], **kwargs)
+
+def _compile_select(triples: DataFrame, q, store_meta: bool) -> DataFrame:
+    """A SELECT-form query dict (top level or subquery) → DataFrame
+    with its own solution modifiers applied."""
+    g = q["group"]
+    if g["union"] is not None:
+        if g["patterns"] or g["subqueries"]:
+            raise SparqlSyntaxError(
+                "UNION is supported as the entire SELECT body")
+        return _apply_modifiers(
+            bgp_union(triples, g["union"], select=q.get("vars")), q)
+    kwargs = _group_kwargs(triples, g, store_meta)
     order_cols = [F.col(v).desc() if d else F.col(v)
                   for v, d in q.get("order", [])]
-    if q["form"] == "construct":
-        return _modifiers(bgp_construct(triples, g["patterns"],
-                                        q["template"], **kwargs))
-    if q["aggs"]:
+    if q["aggs"] or q["group_by"] or q.get("having"):
         aggs = {}
         for out_name, (fn, arg) in q["aggs"].items():
             aggs[out_name] = (F.count("*") if arg == "*"
                               else _AGG_FNS[fn](arg))
-        return _modifiers(
-            bgp_aggregate(triples, g["patterns"],
-                          group_by=q["group_by"], aggs=aggs, **kwargs))
+        if not aggs and not q.get("having"):
+            # GROUP BY with no aggregates ≡ DISTINCT projection of the
+            # grouped variables (the engine is set-semantics already)
+            out = bgp_select(triples, g["patterns"],
+                             select=q["group_by"], **kwargs)
+            return _apply_modifiers(out, q)
+        hexpr, hidden = None, []
+        if q.get("having"):
+            hexpr, haggs = q["having"]
+            for ph, (fn, arg) in haggs:
+                # reuse the SELECT alias when the same aggregate is
+                # already projected; otherwise compute a hidden column
+                alias = next((n for n, fa in q["aggs"].items()
+                              if fa == (fn, arg)), None)
+                if alias is not None:
+                    hexpr = hexpr.replace("`%s`" % ph, "`%s`" % alias)
+                else:
+                    aggs[ph] = (F.count("*") if arg == "*"
+                                else _AGG_FNS[fn](arg))
+                    hidden.append(ph)
+            for ident in _IDENT_RE.findall(hexpr):
+                if (not ident.startswith("__h")
+                        and ident not in q["group_by"]
+                        and ident not in q["aggs"]):
+                    raise SparqlSyntaxError(
+                        "HAVING references ?%s, which is neither a "
+                        "GROUP BY variable nor an aggregate" % ident)
+        out = bgp_aggregate(triples, g["patterns"],
+                            group_by=q["group_by"], aggs=aggs, **kwargs)
+        if hexpr:
+            out = out.filter(F.expr(hexpr))
+        if hidden:
+            out = out.drop(*hidden)
+        return _apply_modifiers(out, q)
     if q.get("offset"):
         out = bgp_select(triples, g["patterns"], select=q.get("vars"),
                          order_by=order_cols or None, **kwargs)
@@ -792,3 +877,27 @@ def sparql(triples: DataFrame, query: str):
     return bgp_select(
         triples, g["patterns"], select=q.get("vars"),
         order_by=order_cols or None, limit=q.get("limit"), **kwargs)
+
+
+def sparql(triples: DataFrame, query: str):
+    """Execute a SPARQL query (see module docstring for the subset)
+    over a (subj, pred, obj) triples DataFrame.  Returns a DataFrame
+    for SELECT/CONSTRUCT, bool for ASK."""
+    p = _Parser(query)
+    q = p.parse_query()
+    g = q["group"]
+    store_meta = all(c in triples.columns
+                     for c in ("lang", "datatype", "obj_kind"))
+    if q["form"] == "select":
+        return _compile_select(triples, q, store_meta)
+    if g["union"] is not None:
+        raise SparqlSyntaxError(
+            "UNION is supported as the entire SELECT body")
+    kwargs = _group_kwargs(triples, g, store_meta)
+    if q["form"] == "ask":
+        from .bgpq import bgp_ask
+
+        return bgp_ask(triples, g["patterns"], **kwargs)
+    # construct
+    return _apply_modifiers(
+        bgp_construct(triples, g["patterns"], q["template"], **kwargs), q)

@@ -380,3 +380,92 @@ def test_graph_clause_rejects(spark):
                                 "subj string, pred string, obj string")
     with pytest.raises(ValueError, match="graph"):
         sparql(kg2, P + "SELECT ?s WHERE { GRAPH ?g { ?s s:p ?o } }")
+
+
+def test_having(kg):
+    # 3 Docs share one type; HAVING keeps/drops the group
+    rows = sparql(kg, P + """
+        SELECT ?t (COUNT(*) AS ?n) WHERE { ?d s:type ?t }
+        GROUP BY ?t HAVING (COUNT(*) >= 3)""").collect()
+    assert [(r["t"], r["n"]) for r in rows] == [("Doc", 3)]
+    assert sparql(kg, P + """
+        SELECT ?t (COUNT(*) AS ?n) WHERE { ?d s:type ?t }
+        GROUP BY ?t HAVING (COUNT(*) > 3)""").count() == 0
+    # HAVING aggregate not projected in SELECT → hidden column,
+    # dropped from the output schema
+    df = sparql(kg, P + """
+        SELECT ?t WHERE { ?d s:type ?t }
+        GROUP BY ?t HAVING (COUNT(*) >= 3)""")
+    assert df.columns == ["t"]
+    assert [r["t"] for r in df.collect()] == ["Doc"]
+    # HAVING referencing a non-grouped plain var raises
+    with pytest.raises(SparqlSyntaxError, match="HAVING"):
+        sparql(kg, P + """
+            SELECT ?t (COUNT(*) AS ?n) WHERE { ?d s:type ?t }
+            GROUP BY ?t HAVING (?d > 1)""")
+
+
+def test_group_by_without_aggregates(kg):
+    rows = sparql(kg, P + """
+        SELECT ?t WHERE { ?d s:type ?t } GROUP BY ?t""").collect()
+    assert [r["t"] for r in rows] == ["Doc"]
+
+
+def test_subquery_joins_outer(kg):
+    """Docs whose label-length equals the max: subquery computes the
+    per-type count, outer patterns join on the shared var."""
+    rows = sparql(kg, P + """
+        SELECT ?d ?t ?n WHERE {
+          ?d s:type ?t .
+          { SELECT ?t (COUNT(*) AS ?n) WHERE { ?x s:type ?t }
+            GROUP BY ?t }
+        } ORDER BY ?d""").collect()
+    assert [(r["d"], r["t"], r["n"]) for r in rows] == [
+        ("a", "Doc", 3), ("b", "Doc", 3), ("c", "Doc", 3)]
+
+
+def test_subquery_with_having_filters_outer(kg):
+    # "types with ≥ 3 members, then their docs" — the ADVICE shape
+    rows = sparql(kg, P + """
+        SELECT ?d ?t WHERE {
+          ?d s:type ?t .
+          { SELECT ?t WHERE { ?x s:type ?t }
+            GROUP BY ?t HAVING (COUNT(*) >= 3) }
+        } ORDER BY ?d""").collect()
+    assert [r["d"] for r in rows] == ["a", "b", "c"]
+    assert sparql(kg, P + """
+        SELECT ?d ?t WHERE {
+          ?d s:type ?t .
+          { SELECT ?t WHERE { ?x s:type ?t }
+            GROUP BY ?t HAVING (COUNT(*) > 3) }
+        }""").count() == 0
+
+
+def test_subquery_limit_applies_inside(kg):
+    # the subquery's ORDER/LIMIT runs BEFORE the outer join
+    rows = sparql(kg, P + """
+        SELECT ?d ?l WHERE {
+          ?d s:label ?l .
+          { SELECT ?d WHERE { ?d s:type "Doc" } ORDER BY ?d LIMIT 1 }
+        }""").collect()
+    assert [(r["d"], r["l"]) for r in rows] == [("a", "Apple")]
+
+
+def test_subquery_rejected_in_subgroups(kg):
+    with pytest.raises(SparqlSyntaxError, match="OPTIONAL group"):
+        sparql(kg, P + """
+            SELECT ?d WHERE {
+              ?d s:type "Doc" .
+              OPTIONAL { { SELECT ?d WHERE { ?d s:mirror ?m } } }
+            }""")
+
+
+def test_outer_filter_may_reference_subquery_vars(kg):
+    rows = sparql(kg, P + """
+        SELECT ?d ?n WHERE {
+          ?d s:type "Doc" .
+          { SELECT (COUNT(*) AS ?n) WHERE { ?x s:type "Doc" } }
+          FILTER (?n >= 3)
+        } ORDER BY ?d""").collect()
+    assert [(r["d"], r["n"]) for r in rows] == [
+        ("a", 3), ("b", 3), ("c", 3)]
