@@ -324,6 +324,16 @@ def run_sf1(sf_dir: str, budget_sec: float | None = None) -> dict:
 
     smoke_jobs = [  # cheapest first, so a tight budget still covers most
         ("dedup_exact", lambda: Q["dedup_exact"](spark, sf1_dir).count()),
+        # query-engine shapes added after the sf1 list was fixed
+        # (round-4 verdict item 9): store-scale BGP/SPARQL paths
+        ("kg_bgp_minus", lambda: Q["kg_bgp_minus"](spark, sf1_dir).count()),
+        ("kg_bgp_path", lambda: Q["kg_bgp_path"](spark, sf1_dir).count()),
+        ("kg_bgp_path_seeded",
+         lambda: Q["kg_bgp_path_seeded"](spark, sf1_dir).count()),
+        ("kg_bgp_agg", lambda: Q["kg_bgp_agg"](spark, sf1_dir).count()),
+        ("kg_sparql_sub", lambda: Q["kg_sparql_sub"](spark, sf1_dir).count()),
+        ("kg_sparql_graph",
+         lambda: Q["kg_sparql_graph"](spark, sf1_dir).count()),
         ("dedup_clusters_prod", lambda: _prod_clusters().count()),
         ("dedup_keep_best_prod", lambda: _prod_keep_best().count()),
         ("dedup_ngram_capped", lambda: _dedup.ngram_jaccard_pairs(
@@ -335,7 +345,7 @@ def run_sf1(sf_dir: str, budget_sec: float | None = None) -> dict:
          lambda: Q["ann_cosine_topk"](spark, sf1_dir).count()),
         ("ann_ivf_topk", lambda: Q["ann_ivf_topk"](spark, sf1_dir).count()),
     ]
-    smoke_budget = float(os.environ.get("SPARK_GRAFT_SF1_SMOKE_BUDGET", "150"))
+    smoke_budget = float(os.environ.get("SPARK_GRAFT_SF1_SMOKE_BUDGET", "260"))
     t_smoke = time.time()
     smoke: dict = {}
     for key, fn in smoke_jobs:

@@ -119,23 +119,25 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
         *[F.struct(F.lit(j).alias("band"), band_cols[j].alias("key"))
           for j in range(bands)]
     )).alias("bk")).select("id", "bk.band", "bk.key")
-    # referenced twice below (count + collect); lazy barrier so the
-    # explode isn't recomputed and AQE gets real stats for the guard join
-    banded = banded.localCheckpoint(eager=False)
     # skew guard BEFORE the collect: a single hot band key (e.g. every
     # empty/template page sharing one signature band) would otherwise
     # accumulate its full membership in ONE aggregation buffer — a
     # TypedImperativeAggregate buffer for a single group cannot spill,
-    # so that's an executor OOM at crawl scale.  Pre-count membership
-    # (count() partials are bounded) and keep only keys with
-    # 2..max_bucket members; the collect_list below then never sees a
-    # group larger than max_bucket.  Count, semi-join, and collect all
-    # hash-partition on (band, key), so the shuffle is reused.
-    ok = (banded.groupBy("band", "key").agg(F.count("*").alias("n_b"))
-          .filter((F.col("n_b") > 1) & (F.col("n_b") <= max_bucket))
-          .select("band", "key"))
+    # so that's an executor OOM at crawl scale.  The guard is a WINDOW
+    # count over (band, key): WindowExec buffers a group in a SPILLABLE
+    # external sorter (disk, not an agg buffer), the filter drops
+    # oversized keys, and the collect_list then never sees a group
+    # larger than max_bucket.  One exchange feeds count, filter, and
+    # collect — the window preserves the (band, key) partitioning, so
+    # the groupBy below adds no second shuffle (plan-shape pinned by
+    # test; the previous count + left-semi-join guard cost an extra
+    # exchange because the partial count sits above its own shuffle).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "key")
     buckets = (
-        banded.join(ok, ["band", "key"], "left_semi")
+        banded.withColumn("n_b", F.count("*").over(w))
+        .filter((F.col("n_b") > 1) & (F.col("n_b") <= max_bucket))
         .groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
     )

@@ -97,6 +97,12 @@ def pagerank(triples: DataFrame, iters: int = 10) -> DataFrame:
                           % (DAMP_NUM, n_nodes, DAMP_DEN))).cast("long")
                 .alias("pr"),
             )
-            .localCheckpoint()
+            # LAZY barrier: truncates the Catalyst plan per round (the
+            # next round scans a LogicalRDD, not a 10-round expression
+            # tree) but defers execution — all rounds run as chained
+            # stages of the ONE consuming action, instead of an eager
+            # job per round (per-job overhead was ~25% of the bench on
+            # a toy graph; at scale the stages dominate either way)
+            .localCheckpoint(eager=False)
         )
     return ranks

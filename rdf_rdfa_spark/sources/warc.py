@@ -1,20 +1,24 @@
 """WARC → pages connector (ISO 28500; the Common Crawl layout).
 
 Scale design: WARC files are the unit of parallelism — `binaryFile`
-gives one row per file and `mapInPandas` parses records inside the
-executor, so a crawl segment of thousands of .warc.gz files fans out
-with zero driver involvement and no shuffle before the parse. Records
-are parsed from the raw bytes (multi-member gzip or plain), response
-records paired with their HTTP payload, and non-HTML responses
-dropped as early as possible (the content-type filter runs before any
-body decoding).
+lists one row per file (only the ``path`` column is selected, which
+binaryFile's column pruning turns into a pure listing: no contents
+cross the JVM) and `mapInPandas` OPENS each path and parses records
+inside the executor, so a crawl segment of thousands of .warc.gz
+files fans out with zero driver involvement and no shuffle before the
+parse. Records are parsed from the streamed bytes (multi-member gzip
+or plain), response records paired with their HTTP payload, and
+non-HTML responses dropped as early as possible (the content-type
+filter runs before any body decoding).
 
-Per-task memory is bounded by RECORD size, not file size: gzip
-members are decompressed incrementally (``zlib.decompressobj`` with a
-capped output window, one member at a time — Common Crawl gzips each
-record as its own member), records are cut from a rolling buffer that
-is compacted as records are emitted, and the Spark reader yields
-pages in bounded Arrow batches.  A truncated or corrupt archive
+Per-task memory is bounded by RECORD size, not file size — end to
+end: bytes are read in 1 MiB slices from the open file, gzip members
+are decompressed incrementally (``zlib.decompressobj`` with a capped
+output window, one member at a time — Common Crawl gzips each record
+as its own member), records are cut from a rolling buffer that is
+compacted as records are emitted, and the Spark reader yields pages
+in bounded Arrow batches.  An arbitrary multi-GB archive parses in
+bounded memory (peak-RSS pinned by test).  A truncated or corrupt archive
 yields every complete record before the damage and drops the tail —
 one bad .warc.gz cannot abort a crawl-scale job (and a decode error
 never escapes the reader).
@@ -48,36 +52,58 @@ def _split_headers(block: bytes) -> dict:
     return headers
 
 
-def _iter_gunzip(data: bytes, chunk: int = 1 << 20,
-                 out_cap: int = 1 << 22) -> Iterator[bytes]:
-    """Streaming multi-member gzip decode: yields bounded decompressed
-    chunks, one member at a time, never materializing the whole
-    archive.  ``out_cap`` bounds each output chunk even against
-    high-ratio members (a gzip bomb inflates in 4 MiB steps, not in
-    one allocation).  A truncated or corrupt member ends the stream —
-    every complete member before it has already been yielded."""
-    pos, n = 0, len(data)
-    view = memoryview(data)
-    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+def _iter_gunzip_stream(chunks: Iterator[bytes],
+                        out_cap: int = 1 << 22) -> Iterator[bytes]:
+    """Streaming multi-member gzip decode over a COMPRESSED chunk
+    stream: yields bounded decompressed chunks, one member at a time,
+    never materializing the archive on either side.  ``out_cap``
+    bounds each output chunk even against high-ratio members (a gzip
+    bomb inflates in 4 MiB steps, not in one allocation).  A truncated
+    or corrupt member ends the stream — every complete member before
+    it has already been yielded."""
+    it = iter(chunks)
+    carry = b""  # bytes past a member end (start of the next member)
+    while True:
+        while len(carry) < 2:  # need the magic to decide
+            nxt = next(it, None)
+            if nxt is None:
+                return
+            carry += nxt
+        if carry[:2] != b"\x1f\x8b":
+            return
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        tail = b""
+        tail = carry
+        carry = b""
         try:
             while not d.eof:
                 if tail:
                     feed, tail = tail, b""
-                elif pos < n:
-                    feed = bytes(view[pos:pos + chunk])
-                    pos += len(feed)
                 else:
-                    return  # truncated member: drop its partial tail
+                    feed = next(it, None)
+                    if feed is None:
+                        return  # truncated member: drop partial tail
                 out = d.decompress(feed, out_cap)
                 if out:
                     yield out
                 tail = d.unconsumed_tail
         except zlib.error:
             return  # corrupt member: keep what we salvaged
-        # bytes fed past the member end belong to the next member
-        pos -= len(d.unused_data)
+        # bytes fed past the member end belong to the next member.
+        # NOTE: at eof CPython leaves the same leftover visible in
+        # BOTH unused_data and unconsumed_tail — adding `tail` here
+        # would double the remainder every member (exponential
+        # re-decode); unused_data alone is the next member's bytes
+        carry = d.unused_data
+
+
+def _iter_gunzip(data: bytes, chunk: int = 1 << 20,
+                 out_cap: int = 1 << 22) -> Iterator[bytes]:
+    """Bytes entry point for :func:`_iter_gunzip_stream` (in-memory
+    archives: embedded fixtures, already-fetched segments)."""
+    view = memoryview(data)
+    slices = (bytes(view[i:i + chunk])
+              for i in range(0, len(data), chunk))
+    return _iter_gunzip_stream(slices, out_cap)
 
 
 def _iter_records(chunks: Iterator[bytes]) -> Iterator[dict]:
@@ -181,11 +207,9 @@ def _http_body(payload: bytes) -> tuple[bytes | None, str | None]:
     return body, headers.get("content-type")
 
 
-def iter_warc_pages(data: bytes, html_only: bool = True) -> Iterator[dict]:
-    """Stream page dicts (url, warc_ts, html) from one WARC file's
-    bytes — records are decoded and released one at a time, so peak
-    memory is one record, not the file."""
-    for rec in parse_warc_records(data):
+def _records_to_pages(records: Iterator[dict],
+                      html_only: bool = True) -> Iterator[dict]:
+    for rec in records:
         h = rec["headers"]
         if h.get("warc-type") != "response":
             continue
@@ -207,6 +231,55 @@ def iter_warc_pages(data: bytes, html_only: bool = True) -> Iterator[dict]:
         }
 
 
+def iter_warc_pages(data: bytes, html_only: bool = True) -> Iterator[dict]:
+    """Stream page dicts (url, warc_ts, html) from one WARC file's
+    bytes — records are decoded and released one at a time, so peak
+    memory is one record, not the file."""
+    return _records_to_pages(parse_warc_records(data), html_only)
+
+
+def _local_path(path: str) -> str:
+    """Spark file URI → local filesystem path.  The connector streams
+    bytes with plain ``open()``, so only local (or locally mounted —
+    NFS, FUSE, EBS/PD) storage is supported; a non-file scheme raises
+    rather than silently buffering."""
+    if "://" in path or path.startswith("file:"):
+        if not path.startswith("file:"):
+            raise ValueError(
+                "read_warc_pages streams from local/mounted paths "
+                "(file:); got %r — mount the store or localize the "
+                "segments first" % path)
+        path = path[5:]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
+def iter_warc_pages_from_file(path: str, html_only: bool = True,
+                              chunk: int = 1 << 20) -> Iterator[dict]:
+    """Stream page dicts from a WARC file PATH: bytes are read in
+    ``chunk``-sized slices and fed straight into the streaming
+    gunzip + record parser, so peak memory is one RECORD (plus one
+    input chunk) — never the compressed file.  This is the scale path:
+    an arbitrary-size archive parses in bounded memory."""
+    with open(_local_path(path), "rb") as fh:
+        first = fh.read(2)
+
+        def chunks() -> Iterator[bytes]:
+            yield first
+            while True:
+                c = fh.read(chunk)
+                if not c:
+                    return
+                yield c
+
+        if first == b"\x1f\x8b":
+            stream: Iterator[bytes] = _iter_gunzip_stream(chunks())
+        else:
+            stream = chunks()
+        yield from _records_to_pages(_iter_records(stream), html_only)
+
+
 def warc_bytes_to_pages(data: bytes, html_only: bool = True):
     """One WARC file's bytes → list of page dicts (url, warc_ts, html).
     Pure function — shared by the Spark connector and unit tests."""
@@ -223,9 +296,13 @@ def read_warc_pages(spark: SparkSession, path: str,
     the same input_hint schema.
 
     Pages are emitted in ``batch_rows``-sized Arrow batches as the
-    record stream is consumed — a 1 GB Common Crawl segment never
-    materializes all its pages in one pandas frame."""
-    files = spark.read.format("binaryFile").load(path)
+    record stream is consumed, and the file's BYTES are streamed from
+    the opened path inside the task (binaryFile's column pruning means
+    selecting only ``path`` never reads the contents JVM-side): peak
+    task memory is one record + one input chunk, bounded regardless of
+    archive size — a multi-GB .warc.gz is fine, not just Common
+    Crawl's ~1 GB segment convention."""
+    files = spark.read.format("binaryFile").load(path).select("path")
     cols = ["url", "warc_ts", "html"]
 
     def _frame(rows):
@@ -236,9 +313,9 @@ def read_warc_pages(spark: SparkSession, path: str,
 
     def gen(batches):
         for pdf in batches:
-            for content in pdf["content"]:
+            for p in pdf["path"]:
                 rows = []
-                for page in iter_warc_pages(bytes(content), html_only):
+                for page in iter_warc_pages_from_file(p, html_only):
                     rows.append(page)
                     if len(rows) >= batch_rows:
                         yield _frame(rows)
@@ -246,7 +323,7 @@ def read_warc_pages(spark: SparkSession, path: str,
                 if rows:
                     yield _frame(rows)
 
-    return files.select("content").mapInPandas(
+    return files.mapInPandas(
         gen,
         schema=("url string, warc_ts timestamp, html binary, "
                 "text string, lang string"),

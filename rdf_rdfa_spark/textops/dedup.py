@@ -37,26 +37,34 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     canonical ids only, no membership lists at all."""
     fp = docs.select(F.md5(F.col(text_col)).alias("fingerprint"),
                      F.col(id_col).alias("id"))
-    agg = (
-        fp.groupBy("fingerprint")
-        .agg(F.count("*").alias("n_dups"),
-             F.min("id").alias("canonical_id"))
-        .filter(F.col("n_dups") > 1)
-    )
     if max_ids is None:
-        return agg
+        return (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("id").alias("canonical_id"))
+            .filter(F.col("n_dups") > 1)
+        )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("fingerprint").orderBy(F.col("id").asc())
-    sample = (
-        fp.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_ids)
-        .groupBy("fingerprint")
-        .agg(F.sort_array(F.collect_list("id")).alias("dup_ids"))
+    # single-exchange plan: both windows and the final groupBy cluster
+    # on fingerprint, so count, rank, filter, and collect share ONE
+    # shuffle.  The rank cap rides INSIDE collect_list via a
+    # conditional value (collect_list skips NULLs), so the agg buffer
+    # holds at most max_ids entries per group while n_dups still
+    # counts the full cardinality.
+    wc = Window.partitionBy("fingerprint")
+    wr = Window.partitionBy("fingerprint").orderBy(F.col("id").asc())
+    return (
+        fp.withColumn("n_dups", F.count("*").over(wc))
+        .filter(F.col("n_dups") > 1)
+        .withColumn("_rn", F.row_number().over(wr))
+        .groupBy("fingerprint", "n_dups")
+        .agg(F.min("id").alias("canonical_id"),
+             F.sort_array(F.collect_list(
+                 F.when(F.col("_rn") <= max_ids, F.col("id"))))
+             .alias("dup_ids"))
+        .select("fingerprint", "n_dups", "canonical_id", "dup_ids")
     )
-    # both sides hash-partition on fingerprint → co-located join
-    return agg.join(sample, "fingerprint").select(
-        "fingerprint", "n_dups", "canonical_id", "dup_ids")
 
 
 def md5_60bit(t):
@@ -140,19 +148,18 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
             for b in range(4)
         ])).alias("e"),
     ).select("item", "e.blk", "e.val")
-    # referenced twice below (count + collect); lazy barrier avoids
-    # recomputing the signature+explode and feeds AQE real stats
-    blocks = blocks.localCheckpoint(eager=False)
-    # skew guard BEFORE the collect (same pattern as lsh_candidate_pairs
-    # and ngram_jaccard_pairs): pre-count block membership and drop
-    # oversized buckets with a semi-join so the collect_list buffer —
-    # which cannot spill within a single group — never materializes a
-    # hot block's full membership.
-    ok = (blocks.groupBy("blk", "val").agg(F.count("*").alias("n_b"))
-          .filter((F.col("n_b") > 1) & (F.col("n_b") <= max_bucket))
-          .select("blk", "val"))
+    # skew guard BEFORE the collect (same shape as lsh_candidate_pairs):
+    # a WINDOW count over (blk, val) — WindowExec buffers a group in a
+    # spillable external sorter, never an agg buffer — filters
+    # oversized blocks so the collect_list below never materializes a
+    # hot block's full membership.  The window preserves the (blk, val)
+    # partitioning, so count, filter, and collect share ONE exchange.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("blk", "val")
     buckets = (
-        blocks.join(ok, ["blk", "val"], "left_semi")
+        blocks.withColumn("n_b", F.count("*").over(w))
+        .filter((F.col("n_b") > 1) & (F.col("n_b") <= max_bucket))
         .groupBy("blk", "val")
         # sort_array on struct(id, simhash) orders by id → pairs below
         # come out with a < b by construction

@@ -786,10 +786,12 @@ def test_bgp_union(spark):
 
 def test_lsh_bucket_cap_applied_before_collect(spark):
     """A mega-bucket (40 identical docs → every band key shared) must
-    be dropped by the pre-count guard BEFORE collect_list ever sees it:
-    the physical plan carries a count-aggregate + LeftSemi join BELOW
-    the collect_list aggregate, so no reducer materializes a hot
-    bucket's full membership (a single-group agg buffer can't spill)."""
+    be dropped by the skew guard BEFORE collect_list ever sees it: the
+    plan carries a WINDOW count + filter BELOW the collect_list
+    aggregate (WindowExec buffers a group in a spillable sorter, never
+    a single-group agg buffer), and the window preserves the
+    (band, key) partitioning so guard + collect share ONE exchange
+    (pairs-distinct adds the only other one)."""
     tmpl = " ".join("word%02d" % i for i in range(30))
     docs = spark.createDataFrame([(i, tmpl) for i in range(40)],
                                  "doc_id long, text string")
@@ -800,13 +802,11 @@ def test_lsh_bucket_cap_applied_before_collect(spark):
                                          num_hashes=64)
     assert uncapped.count() == 40 * 39 // 2
     plan = capped._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan, plan
-    collect_at = plan.index("collect_list")
-    semi_at = plan.index("LeftSemi")
-    # physical plans print root-first: the guard join must be BELOW
+    assert "Window [count(1)" in plan, plan
+    # physical plans print root-first: the guard window must be BELOW
     # (printed after) the collect aggregate
-    assert semi_at > collect_at, plan
-    assert "count(1)" in plan, plan     # the pre-count side of the guard
+    assert plan.index("Window [count(1)") > plan.index("collect_list"), plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 def test_simhash_bucket_cap_applied_before_collect(spark):
@@ -815,8 +815,9 @@ def test_simhash_bucket_cap_applied_before_collect(spark):
                                  "doc_id long, text string")
     plan = (dedup.simhash_near_dups(docs, max_bucket=8)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "LeftSemi" in plan, plan
-    assert plan.index("LeftSemi") > plan.index("collect_list"), plan
+    assert "Window [count(1)" in plan, plan
+    assert plan.index("Window [count(1)") > plan.index("collect_list"), plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 def test_exact_duplicates_hot_fingerprint_bounded(spark):
@@ -836,6 +837,11 @@ def test_exact_duplicates_hot_fingerprint_bounded(spark):
     assert lean.columns == ["fingerprint", "n_dups", "canonical_id"]
     assert "collect_list" not in (
         lean._jdf.queryExecution().executedPlan().toString())
+    # capped path: count window + rank window + collect all cluster on
+    # fingerprint — a single exchange, no guard join
+    plan = (dedup.exact_duplicates(docs, max_ids=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_topk_is_two_phase(spark):

@@ -167,3 +167,41 @@ def test_warc_gzip_bomb_inflates_in_bounded_chunks():
         max_chunk = max(max_chunk, len(chunk))
     assert total == 64 << 20
     assert max_chunk <= 1 << 22
+
+
+def test_warc_multi_gb_archive_parses_in_bounded_memory(tmp_path):
+    """The scale contract: an archive whose DECOMPRESSED size is ~1 GiB
+    (64 members x 16 MiB, highly compressible, so the file itself is
+    small and quick to build) parses from its PATH with peak RSS far
+    below the decompressed size — per-task memory is record-bounded,
+    end to end.  Runs in a subprocess so ru_maxrss measures only this
+    parse."""
+    import subprocess
+    import sys
+
+    body = b"a" * (16 << 20)
+    rec = _warc_record("response", "http://big.example/x", _http(body))
+    member = gzip.compress(rec, compresslevel=1)
+    warc = tmp_path / "huge.warc.gz"
+    with open(warc, "wb") as fh:
+        for _ in range(64):
+            fh.write(member)
+    script = (
+        "import resource, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from rdf_rdfa_spark.sources.warc import iter_warc_pages_from_file\n"
+        "n = tot = 0\n"
+        "for p in iter_warc_pages_from_file(%r):\n"
+        "    n += 1; tot += len(p['html'])\n"
+        "print(n, tot, resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)\n"
+        % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           str(warc))
+    )
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    n, tot, maxrss_kb = (int(x) for x in out.stdout.split())
+    assert n == 64 and tot == 64 * len(body)
+    # 1 GiB decompressed; record-bounded parse stays far below it
+    # (interpreter + imports + one 16 MiB record + chunk buffers)
+    assert maxrss_kb < 500 * 1024, "peak RSS %.0f MiB" % (maxrss_kb / 1024)
