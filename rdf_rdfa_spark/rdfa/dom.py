@@ -665,6 +665,10 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
     # cheaper than re-running the attribute regex
     tag_cache: dict = {}
     tag_cache_get = tag_cache.get
+    # end-tag token cache: slice-to-first-'>' → lowercased tag name,
+    # or None for a remembered no-match (stray '</ …' text)
+    end_cache: dict = {}
+    end_cache_get = end_cache.get
     while pos < n:
         lt = find("<", pos)
         if lt != pos:
@@ -688,20 +692,48 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
         c = text[lt + 1 : lt + 2]
         m = None
         kind = 0
+        gt = -1
+        cached = None
+        tag_hit = None
         # every token kind except unterminated comments/CDATA (whose
         # regexes end with an $ fallback) needs a '>' ahead; probing
         # with memchr FIRST keeps a hostile no-'>' tail from feeding
         # the tag regexes — the start-tag name class admits '<', so
         # '<div<div<div…' with no '>' is a catastrophic-backtracking
-        # bomb (measured minutes for 80 KB) without this guard
+        # bomb (measured minutes for 80 KB) without this guard.
+        # The probe's gt also powers two regex-free fast paths:
+        #  - QUOTE-FREE start tags: with no quote chars in the slice,
+        #    the token provably ends at the first '>' (the quoted-attr
+        #    alternations can never engage to cross it), so the slice
+        #    IS the token and the tag cache can be probed directly.
+        #    Quote-bearing slices stay on the regex path — a quoted
+        #    '>' makes the naive slice a lie there.
+        #  - end tags: an end-tag token is fully determined by the
+        #    slice up to the first '>' (its grammar admits no quoting
+        #    and cannot cross a '>'), so parse-or-fail is cached.
         if c:
             if c.isalpha():
-                if find(">", lt + 1) != -1:
-                    m = start_match(text, lt)
+                gt = find(">", lt + 1)
+                if gt != -1:
+                    nraw = text[lt:gt + 1]
+                    if '"' not in nraw and "'" not in nraw:
+                        cached = tag_cache_get(nraw)
+                    if cached is not None:
+                        m = True
+                    else:
+                        m = start_match(text, lt)
                 kind = 1
             elif c == "/":
-                if find(">", lt + 1) != -1:
-                    m = end_match(text, lt)
+                gt = find(">", lt + 1)
+                if gt != -1:
+                    tag_hit = end_cache_get(text[lt:gt + 1], 0)
+                    if tag_hit == 0:
+                        em = end_match(text, lt)
+                        tag_hit = (em.group(1).lower()
+                                   if em is not None else None)
+                        end_cache[text[lt:gt + 1]] = tag_hit
+                    if tag_hit is not None:
+                        m = True
                 kind = 2
             elif c == "!":
                 if (find(">", lt + 1) != -1
@@ -760,10 +792,13 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
                 root_children.append("<")
             pos = lt + 1
             continue
-        pos = m.end()
         if kind == 1:
-            raw = text[lt:pos]
-            cached = tag_cache_get(raw)
+            if m is True:  # quote-free slice hit the tag cache
+                pos = gt + 1
+            else:
+                pos = m.end()
+                raw = text[lt:pos]
+                cached = tag_cache_get(raw)
             if cached is None:
                 start_tag, raw_attrs, selfclose = m.groups()
                 tag = start_tag.lower()
@@ -846,7 +881,9 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
                         el.children.append(text[pos:end])  # raw, no unescape
                     pos = end
         elif kind == 2:
-            tag = m.group(1).lower()
+            # a matched end token always ends at the first '>'
+            pos = gt + 1
+            tag = tag_hit
             if tag not in VOID_ELEMENTS:
                 for i in range(len(stack) - 1, -1, -1):
                     if stack[i].name == tag:
@@ -854,6 +891,7 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
                         break
                 # unmatched end tag: ignored (HTML5 recovery)
         elif kind == 3:
+            pos = m.end()
             comment, cdata, decl = m.groups()
             if comment is not None:
                 node = Comment(comment)
@@ -874,4 +912,7 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
                         root_children.append(cdata)
             else:
                 tb.handle_decl(decl)
-        # kind 4 (processing instruction): dropped, as html.parser does
+        else:
+            # kind 4 (processing instruction): dropped, as html.parser
+            # does
+            pos = m.end()
