@@ -452,7 +452,8 @@ def bgp_select(triples: DataFrame, patterns, select=None,
     SELECT DISTINCT).
 
     ``filters``: SPARQL FILTER — Column predicates (or SQL strings)
-    over the variable columns, applied to the joined solutions.
+    over the variable columns, applied to the joined solutions after
+    OPTIONAL (so BOUND()-style tests over optional variables work).
     ``optional``: SPARQL OPTIONAL — a list of pattern GROUPS; each
     group left-joins the solution set on its shared variables, so its
     variables come back NULL where the group has no match.  Groups may
@@ -505,8 +506,6 @@ def bgp_select(triples: DataFrame, patterns, select=None,
     for name, expr in (bind or {}).items():
         out = out.withColumn(name, expr)
         required_vars.add(name)
-    for flt in (filters or ()):
-        out = out.filter(flt)
     for group in (optional or ()):
         opt = _group_df(triples, group)
         dup_meta = [c for c in opt.columns
@@ -528,6 +527,14 @@ def bgp_select(triples: DataFrame, patterns, select=None,
             raise ValueError("OPTIONAL group shares no variable "
                              "with the required patterns")
         out = out.join(opt, shared, "left")
+    # group-level FILTERs run AFTER the OPTIONAL joins (SPARQL §8:
+    # a filter applies to the whole group's solutions) — that's what
+    # makes FILTER(BOUND(?m)) / !BOUND over an OPTIONAL variable work.
+    # For filters over required variables only, Catalyst pushes the
+    # predicate back below the left joins, so the common case costs
+    # nothing extra.
+    for flt in (filters or ()):
+        out = out.filter(flt)
     for group in (minus or ()):
         neg = _group_df(triples, group)
         shared = [c for c in neg.columns

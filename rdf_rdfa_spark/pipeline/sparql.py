@@ -15,10 +15,12 @@ plans — this module only builds ASTs):
     ``graph`` column (output vs processor diagnostics, mirroring the
     reference's rdfagraph routing, reader.rb:311-317,459-466)
   - FILTER expressions over bound variables (comparisons, &&/||/!,
-    REGEX → RLIKE, STRLEN/CONTAINS/STRSTARTS/STRENDS/UCASE/LCASE/STR)
+    REGEX → RLIKE, STRLEN/CONTAINS/STRSTARTS/STRENDS/UCASE/LCASE/STR,
+    BOUND/IF/COALESCE/CONCAT/SUBSTR/REPLACE)
   - BIND(expr AS ?v), VALUES ?v { ... } / VALUES (?a ?b) { (..) .. }
-  - GROUP BY + COUNT/SUM/MIN/MAX/AVG aggregates in the SELECT clause,
-    HAVING over aggregate expressions
+  - GROUP BY + COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT aggregates
+    (DISTINCT inside the call; GROUP_CONCAT(?v; SEPARATOR="...")) in
+    the SELECT clause, HAVING over aggregate expressions
   - subqueries: { SELECT ... } groups, compiled bottom-up and joined
     with the enclosing group on shared variables
   - ORDER BY [ASC|DESC](?v), LIMIT n, OFFSET n (either order)
@@ -458,7 +460,11 @@ class _Parser:
     _FN_MAP = {"STRLEN": "length", "CONTAINS": "contains",
                "STRSTARTS": "startswith", "STRENDS": "endswith",
                "UCASE": "upper", "LCASE": "lower", "ABS": "abs",
-               "ROUND": "round", "CEIL": "ceil", "FLOOR": "floor"}
+               "ROUND": "round", "CEIL": "ceil", "FLOOR": "floor",
+               "COALESCE": "coalesce", "CONCAT": "concat",
+               "SUBSTR": "substring", "IF": "if",
+               # SPARQL REPLACE is regex-based (flags unsupported)
+               "REPLACE": "regexp_replace"}
 
     def parse_expr_sql(self, stop_at_as: bool = False) -> str:
         """Translate a parenthesized-or-simple SPARQL expression to a
@@ -529,6 +535,13 @@ class _Parser:
                     self.eat_op("(")
                     parts.append(self._simple_operand())
                     self.eat_op(")")
+                elif up == "BOUND":
+                    self.eat_op("(")
+                    kb, vb = self.next()
+                    if kb != "var":
+                        raise SparqlSyntaxError("BOUND needs a ?var")
+                    self.eat_op(")")
+                    parts.append("(`%s` IS NOT NULL)" % vb)
                 elif up in ("LANG", "DATATYPE", "ISIRI", "ISURI",
                             "ISLITERAL", "ISBLANK"):
                     # term metadata: the engine threads the store's
@@ -630,8 +643,12 @@ class _Parser:
                 elif self.at_op("("):
                     self.next()
                     fn = self.eat_word("COUNT", "SUM", "MIN", "MAX",
-                                       "AVG")
+                                       "AVG", "SAMPLE", "GROUP_CONCAT")
                     self.eat_op("(")
+                    distinct = False
+                    if self.at_word("DISTINCT"):
+                        self.next()
+                        distinct = True
                     if self.at_op("*"):
                         self.next()
                         arg = "*"
@@ -640,13 +657,23 @@ class _Parser:
                         if kind != "var":
                             raise SparqlSyntaxError(
                                 "aggregate needs ?var or *")
+                    sep = " "
+                    if self.at_op(";"):  # GROUP_CONCAT(?v; SEPARATOR="-")
+                        self.next()
+                        self.eat_word("SEPARATOR")
+                        self.eat_op("=")
+                        kind, sep = self.next()
+                        if kind != "string":
+                            raise SparqlSyntaxError(
+                                "SEPARATOR needs a string")
                     self.eat_op(")")
                     self.eat_word("AS")
                     kind, out = self.next()
                     if kind != "var":
                         raise SparqlSyntaxError("aggregate needs AS ?var")
                     self.eat_op(")")
-                    q["aggs"][out] = (fn, arg)
+                    q["aggs"][out] = (fn, arg, distinct,
+                                      sep if fn == "GROUP_CONCAT" else None)
                 else:
                     break
             q["vars"] = names or None
@@ -708,6 +735,32 @@ class _Parser:
 _AGG_FNS = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min,
             "MAX": F.max, "AVG": F.avg}
 _AGG_WORDS = tuple(_AGG_FNS)
+
+
+def _agg_col(fn: str, arg: str, distinct: bool = False,
+             sep: str | None = None):
+    """A parsed SPARQL aggregate → Spark Column.  Aggregates run over
+    the engine's DISTINCT solution set; DISTINCT inside the call
+    additionally dedups the argument's bindings."""
+    if arg == "*":
+        if fn != "COUNT":
+            raise SparqlSyntaxError("%s(*) is not valid SPARQL" % fn)
+        return F.count("*")
+    if fn == "COUNT":
+        return F.countDistinct(arg) if distinct else F.count(arg)
+    if fn == "SAMPLE":
+        # the spec allows ANY binding; the minimum makes the choice
+        # deterministic (reproducible runs, value-oracle friendly)
+        return F.min(arg)
+    if fn == "GROUP_CONCAT":
+        vals = F.collect_set(arg) if distinct else F.collect_list(arg)
+        # sorted join: SPARQL leaves the order implementation-defined,
+        # a canonical order keeps results partitioning-independent
+        return F.array_join(F.sort_array(vals), sep if sep is not None
+                            else " ")
+    if distinct:
+        return F.expr("%s(DISTINCT `%s`)" % (fn.lower(), arg))
+    return _AGG_FNS[fn](arg)
 
 # backticked identifiers as parse_expr_sql emits them — the compiled
 # SQL is scanned (rather than the parser threading state) to validate
@@ -802,8 +855,16 @@ def _group_kwargs(triples: DataFrame, g, store_meta: bool) -> dict:
                               else set())
     for sq in g["subqueries"]:
         extra |= _subq_vars(sq)
-    _validate_filter_scope(list(g["filters"]) + list(g["bind"].values()),
-                           g["patterns"], "WHERE", extra_vars=extra,
+    # group-level FILTERs run after the OPTIONAL joins, so optional-
+    # bound variables are in scope (BOUND(?m) over OPTIONAL works);
+    # BINDs run before them, so only required/VALUES vars for those
+    scope = list(g["patterns"])
+    for og in g["optional"]:
+        scope += og["patterns"] if isinstance(og, dict) else og
+    _validate_filter_scope(list(g["filters"]), scope, "WHERE",
+                           extra_vars=extra, have_meta=store_meta)
+    _validate_filter_scope(list(g["bind"].values()), g["patterns"],
+                           "WHERE", extra_vars=extra,
                            have_meta=store_meta)
     return dict(
         filters=[F.expr(e) for e in g["filters"]],
@@ -830,9 +891,8 @@ def _compile_select(triples: DataFrame, q, store_meta: bool) -> DataFrame:
                   for v, d in q.get("order", [])]
     if q["aggs"] or q["group_by"] or q.get("having"):
         aggs = {}
-        for out_name, (fn, arg) in q["aggs"].items():
-            aggs[out_name] = (F.count("*") if arg == "*"
-                              else _AGG_FNS[fn](arg))
+        for out_name, spec in q["aggs"].items():
+            aggs[out_name] = _agg_col(*spec)
         if not aggs and not q.get("having"):
             # GROUP BY with no aggregates ≡ DISTINCT projection of the
             # grouped variables (the engine is set-semantics already)
@@ -843,15 +903,15 @@ def _compile_select(triples: DataFrame, q, store_meta: bool) -> DataFrame:
         if q.get("having"):
             hexpr, haggs = q["having"]
             for ph, (fn, arg) in haggs:
-                # reuse the SELECT alias when the same aggregate is
-                # already projected; otherwise compute a hidden column
+                # reuse the SELECT alias when the same PLAIN aggregate
+                # is already projected; otherwise a hidden column
                 alias = next((n for n, fa in q["aggs"].items()
-                              if fa == (fn, arg)), None)
+                              if fa[:2] == (fn, arg) and not fa[2]),
+                             None)
                 if alias is not None:
                     hexpr = hexpr.replace("`%s`" % ph, "`%s`" % alias)
                 else:
-                    aggs[ph] = (F.count("*") if arg == "*"
-                                else _AGG_FNS[fn](arg))
+                    aggs[ph] = _agg_col(fn, arg)
                     hidden.append(ph)
             for ident in _IDENT_RE.findall(hexpr):
                 if (not ident.startswith("__h")

@@ -469,3 +469,49 @@ def test_outer_filter_may_reference_subquery_vars(kg):
         } ORDER BY ?d""").collect()
     assert [(r["d"], r["n"]) for r in rows] == [
         ("a", 3), ("b", 3), ("c", 3)]
+
+
+def test_more_aggregates(kg):
+    rows = sparql(kg, P + """
+        SELECT ?t (GROUP_CONCAT(?l; SEPARATOR="|") AS ?ls)
+               (SAMPLE(?l) AS ?one)
+               (COUNT(DISTINCT ?t) AS ?nt)
+        WHERE { ?d s:type ?t ; s:label ?l } GROUP BY ?t""").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # canonical (sorted) order keeps results partitioning-independent
+    assert r["ls"] == "Apple|Fig|Pear"
+    assert r["one"] == "Apple"  # deterministic sample = minimum
+    assert r["nt"] == 1
+    # GROUP_CONCAT(DISTINCT ...) collapses duplicate bindings
+    rows = sparql(kg, P + """
+        SELECT (GROUP_CONCAT(DISTINCT ?t; SEPARATOR=",") AS ?ts)
+        WHERE { ?d s:type ?t }""").collect()
+    assert rows[0]["ts"] == "Doc"
+
+
+def test_more_filter_functions(kg):
+    got = {r["d"] for r in sparql(kg, P + """
+        SELECT ?d WHERE {
+          ?d s:type "Doc" .
+          OPTIONAL { ?d s:mirror ?m }
+          FILTER (BOUND(?m))
+        }""").collect()}
+    assert got == {"a"}
+    rows = sparql(kg, P + """
+        SELECT ?d ?k WHERE {
+          ?d s:label ?l .
+          BIND(IF(STRLEN(?l) > 3, "long", "short") AS ?k)
+          FILTER (CONTAINS(CONCAT(?l, "!"), "g!"))
+        }""").collect()
+    assert [(r["d"], r["k"]) for r in rows] == [("c", "short")]
+    got = {r["r"] for r in sparql(kg, P + """
+        SELECT ?r WHERE {
+          "a" s:label ?l . BIND(REPLACE(?l, "p+", "P") AS ?r)
+        }""").collect()}
+    assert got == {"APle"}
+    got = {r["sub"] for r in sparql(kg, P + """
+        SELECT ?sub WHERE {
+          "a" s:label ?l . BIND(SUBSTR(?l, 1, 3) AS ?sub)
+        }""").collect()}
+    assert got == {"App"}
