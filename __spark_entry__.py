@@ -315,6 +315,37 @@ def q_kg_sparql_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
         } ORDER BY ?d ?g LIMIT 120""")
 
 
+def q_kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE: every store triple about the articles of one
+    genre — targets resolved through the WHERE group, description =
+    subject-scoped triple set (broadcast-semi against the store)."""
+    from rdf_rdfa_spark.pipeline.sparql import sparql
+
+    triples = q_rdfa_extract(spark, sf_dir)
+    return sparql(triples, """
+        PREFIX schema: <http://schema.org/>
+        DESCRIBE ?d WHERE { ?d schema:genre "src0" }
+    """).select("subj", "pred", "obj")
+
+
+def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UPDATE (functional): rename every schema:genre edge to
+    schema:category via DELETE {} INSERT {} WHERE {} — the update
+    returns the new triples DataFrame (the store is immutable;
+    committing = writing a snapshot), here projected to (subj, pred,
+    obj) and value-oracled against a CASE rewrite of the corpus
+    triples."""
+    from rdf_rdfa_spark.pipeline.sparql import sparql_update
+
+    triples = q_rdfa_extract(spark, sf_dir)
+    updated = sparql_update(triples, """
+        PREFIX schema: <http://schema.org/>
+        DELETE { ?d schema:genre ?g }
+        INSERT { ?d schema:category ?g }
+        WHERE { ?d schema:genre ?g }""")
+    return updated.select("subj", "pred", "obj")
+
+
 def q_kg_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregate over the KG: Articles per genre (GROUP BY +
     COUNT over the distinct solution set; map-side partial agg)."""
@@ -644,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_meta": q_kg_sparql_meta,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_sparql_sub": q_kg_sparql_sub,
+        "kg_sparql_update": q_kg_sparql_update,
+        "kg_sparql_describe": q_kg_sparql_describe,
         "entail_classes": q_entail_classes,
         "entail_props": q_entail_props,
         "entity_link_sameas": q_entity_link_sameas,
@@ -1490,6 +1523,19 @@ def oracle_sql() -> dict[str, str]:
         # skolemized per document, so nothing collapses)
         "kg_sparql_sub": _KG_SPARQL_SUB_SQL.format(t=triples,
                                                    rdf_type=_RDF_TYPE),
+        # genre→category rename: the update's DELETE removes every
+        # (d, genre, g) row and the INSERT adds one distinct
+        # (d, category, g) per solution — with per-document unique
+        # subjects that is exactly a predicate rewrite
+        "kg_sparql_update": (
+            "SELECT subj, CASE WHEN pred = 'http://schema.org/genre' "
+            "THEN 'http://schema.org/category' ELSE pred END AS pred, "
+            "obj FROM (%s)" % triples),
+        "kg_sparql_describe": (
+            "SELECT subj, pred, obj FROM (%s) WHERE subj IN ("
+            "SELECT DISTINCT subj FROM (%s) WHERE "
+            "pred = 'http://schema.org/genre' AND obj = 'src0')"
+            % (triples, triples)),
         "kg_sparql_graph": _PROCESSOR_COUNTS_SQL.replace(
             "SELECT pred, n FROM", "SELECT pred AS p, n FROM"),
         "entail_classes": _ENTAIL_CLASSES_SQL,

@@ -43,3 +43,4 @@ bgp_aggregate = _lazy(".pipeline.bgpq", "bgp_aggregate")
 bgp_construct = _lazy(".pipeline.bgpq", "bgp_construct")
 bgp_union = _lazy(".pipeline.bgpq", "bgp_union")
 sparql = _lazy(".pipeline.sparql", "sparql")
+sparql_update = _lazy(".pipeline.sparql", "sparql_update")

@@ -617,6 +617,34 @@ def bgp_construct(triples: DataFrame, patterns, template,
     return out.distinct()
 
 
+def bgp_describe(triples: DataFrame, targets, patterns=None,
+                 **kwargs) -> DataFrame:
+    """SPARQL DESCRIBE: all store triples whose SUBJECT is a
+    described resource.  ``targets`` mixes constant IRIs and
+    var('name') entries resolved against the WHERE group's solutions.
+    (Subject-scoped description — the reference ecosystem's default
+    DESCRIBE is implementation-defined; blank-node closure is not
+    chased, matching the store's skolemized-label model.)"""
+    spark = triples.sparkSession
+    consts = [t for t in targets if not isinstance(t, tuple)]
+    vars_ = [t[1] for t in targets if isinstance(t, tuple)]
+    subs = None
+    if consts:
+        subs = spark.createDataFrame([(c,) for c in consts], "subj string")
+    if vars_:
+        if not patterns:
+            raise ValueError("DESCRIBE ?var needs a WHERE group")
+        sol = bgp_select(triples, patterns, **kwargs)
+        for v in vars_:
+            part = sol.select(F.col(v).alias("subj")).distinct()
+            subs = part if subs is None else subs.unionByName(part)
+    if subs is None:
+        raise ValueError("DESCRIBE needs at least one target")
+    # described sets are small relative to the store: broadcast-semi
+    return triples.join(F.broadcast(subs.distinct()), "subj",
+                        "left_semi")
+
+
 def bgp_ask(triples: DataFrame, patterns, **kwargs) -> bool:
     """SPARQL ASK over the distributed store: does at least one
     solution exist?  LIMIT 1 keeps the scan short-circuiting."""

@@ -4,7 +4,8 @@ Parses a practical SPARQL 1.1 subset and compiles it onto the
 declarative operators in :mod:`bgpq` (everything executes as Catalyst
 plans — this module only builds ASTs):
 
-  - SELECT [DISTINCT] ?vars|* / ASK / CONSTRUCT {template}
+  - SELECT [DISTINCT] ?vars|* / ASK / CONSTRUCT {template} /
+    DESCRIBE <iri>|?var [WHERE { }] (subject-scoped description)
   - PREFIX declarations, ``a`` → rdf:type
   - basic graph patterns with ``;`` predicate and ``,`` object lists
   - property paths: ``p1/p2``, ``p1|p2``, ``^p``, ``p?``, ``p+``,
@@ -24,6 +25,9 @@ plans — this module only builds ASTs):
   - subqueries: { SELECT ... } groups, compiled bottom-up and joined
     with the enclosing group on shared variables
   - ORDER BY [ASC|DESC](?v), LIMIT n, OFFSET n (either order)
+  - UPDATE (separate entry point :func:`sparql_update`, functional —
+    returns the updated DataFrame): INSERT DATA / DELETE DATA /
+    DELETE WHERE / DELETE {} INSERT {} WHERE {}
 
 Deliberate scope notes: untagged literals match the store's obj
 column on LEXICAL form; "lit"@lang / "lit"^^dt constants and the
@@ -612,6 +616,33 @@ class _Parser:
                     "trailing tokens after ASK group at %r"
                     % (self.peek()[1],))
             return q
+        if self.at_word("DESCRIBE"):
+            self.next()
+            targets = []
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    self.next()
+                    targets.append(var(v))
+                elif k == "iri":
+                    self.next()
+                    targets.append(v)
+                elif k == "pname":
+                    self.next()
+                    targets.append(self._pname_iri(v))
+                else:
+                    break
+            if not targets:
+                raise SparqlSyntaxError("DESCRIBE needs ?vars or <iri>s")
+            q = {"form": "describe", "targets": targets, "group": None}
+            if self.at_word("WHERE"):
+                self.next()
+                q["group"] = self.parse_group()
+            if self.peek()[0] != "eof":
+                raise SparqlSyntaxError(
+                    "trailing tokens after DESCRIBE at %r"
+                    % (self.peek()[1],))
+            return q
         if self.at_word("CONSTRUCT"):
             self.next()
             tmpl_group: list = []
@@ -950,6 +981,14 @@ def sparql(triples: DataFrame, query: str):
                      for c in ("lang", "datatype", "obj_kind"))
     if q["form"] == "select":
         return _compile_select(triples, q, store_meta)
+    if q["form"] == "describe":
+        from .bgpq import bgp_describe
+
+        if g is None:
+            return bgp_describe(triples, q["targets"])
+        kwargs = _group_kwargs(triples, g, store_meta)
+        return bgp_describe(triples, q["targets"], g["patterns"],
+                            **kwargs)
     if g["union"] is not None:
         raise SparqlSyntaxError(
             "UNION is supported as the entire SELECT body")
@@ -961,3 +1000,185 @@ def sparql(triples: DataFrame, query: str):
     # construct
     return _apply_modifiers(
         bgp_construct(triples, g["patterns"], q["template"], **kwargs), q)
+
+
+# --- SPARQL 1.1 UPDATE (functional) --------------------------------------
+# The store is immutable (snapshot manifests); an update therefore
+# RETURNS the updated triples DataFrame — pair with write_triples /
+# materialize to commit it as a new snapshot.  Supported forms:
+# INSERT DATA { ... } / DELETE DATA { ... } (ground triples),
+# DELETE WHERE { patterns }, and [DELETE {tmpl}] [INSERT {tmpl}]
+# WHERE { group }.  Deletion matches on lexical (subj, pred, obj)
+# across all graphs/urls; inserted rows land in the output graph with
+# obj_kind derived from the template term (var-bound objects: NULL).
+
+def _parse_kinded_term(p: _Parser):
+    k, v = p.peek()
+    if k == "var":
+        p.next()
+        return var(v), "var"
+    if k == "iri":
+        p.next()
+        return v, "iri"
+    if k == "pname":
+        p.next()
+        return p._pname_iri(v), "iri"
+    if k == "word" and v == "a":
+        p.next()
+        return RDF_TYPE, "iri"
+    if k == "string":
+        return p.parse_term(), "literal"  # handles @lang/^^dt tags
+    if k == "number":
+        p.next()
+        return v, "literal"
+    raise SparqlSyntaxError("expected term in update block, got %r" % (v,))
+
+
+def _parse_update_block(p: _Parser, allow_vars: bool):
+    """{ s p o ; p2 o2 , o3 . ... } → [(term, kind) triples]."""
+    out = []
+    p.eat_op("{")
+    while not p.at_op("}"):
+        s, sk = _parse_kinded_term(p)
+        if sk == "literal":
+            raise SparqlSyntaxError("literal subject in update block")
+        while True:
+            pr, pk = _parse_kinded_term(p)
+            if pk == "literal":
+                raise SparqlSyntaxError("literal predicate in update block")
+            while True:
+                o, ok = _parse_kinded_term(p)
+                if not allow_vars and "var" in (sk, pk, ok):
+                    raise SparqlSyntaxError(
+                        "INSERT DATA / DELETE DATA must be ground")
+                out.append(((s, sk), (pr, pk), (o, ok)))
+                if p.at_op(","):
+                    p.next()
+                    continue
+                break
+            if p.at_op(";"):
+                p.next()
+                if p.at_op(".") or p.at_op("}"):
+                    break
+                continue
+            break
+        if p.at_op("."):
+            p.next()
+    p.eat_op("}")
+    return out
+
+
+def _kinded_df(triples: DataFrame, kinded, sol: DataFrame | None) -> DataFrame:
+    """Instantiate a kinded template into the STORE's schema: one
+    select per template triple over the solutions (or a literal row
+    for ground data), unioned.  Extra store columns get defaults:
+    obj_kind from the template term, tag metadata from tagged
+    literals, graph='output', url NULL."""
+    cols = triples.columns
+    outs = []
+    for (s, sk), (pr, pk), (o, ok) in kinded:
+        lang = dt = None
+        if isinstance(o, tuple) and o and o[0] == "lit":
+            _t, o_val, lang, dt = o
+            o = o_val
+        sel = []
+        for col_name in cols:
+            if col_name == "subj":
+                c = F.col(s[1]) if sk == "var" else F.lit(s)
+            elif col_name == "pred":
+                c = F.col(pr[1]) if pk == "var" else F.lit(pr)
+            elif col_name == "obj":
+                c = F.col(o[1]) if ok == "var" else F.lit(o)
+            elif col_name == "obj_kind":
+                c = (F.lit(None) if ok == "var"
+                     else F.lit("literal" if ok == "literal" else "iri"))
+            elif col_name == "lang":
+                c = F.lit(lang)
+            elif col_name == "datatype":
+                c = F.lit(dt)
+            elif col_name == "graph":
+                c = F.lit("output")
+            else:  # url and any other provenance column
+                c = F.lit(None)
+            sel.append(c.cast(triples.schema[col_name].dataType)
+                       .alias(col_name))
+        base = sol if sol is not None else (
+            triples.sparkSession.range(1))
+        outs.append(base.select(*sel))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    # unbound (NULL) template vars drop the instantiation, per spec
+    for pos in ("subj", "pred", "obj"):
+        out = out.filter(F.col(pos).isNotNull())
+    return out.distinct()
+
+
+def sparql_update(triples: DataFrame, update: str) -> DataFrame:
+    """Execute one SPARQL UPDATE operation; returns the updated
+    triples DataFrame (functional — commit via materialize)."""
+    p = _Parser(update)
+    p.parse_prologue()
+    ins_kinded = del_kinded = group = None
+    if p.at_word("INSERT"):
+        p.next()
+        if p.at_word("DATA"):
+            p.next()
+            ins_kinded = _parse_update_block(p, allow_vars=False)
+        else:
+            ins_kinded = _parse_update_block(p, allow_vars=True)
+            p.eat_word("WHERE")
+            group = p.parse_group()
+    elif p.at_word("DELETE"):
+        p.next()
+        if p.at_word("DATA"):
+            p.next()
+            del_kinded = _parse_update_block(p, allow_vars=False)
+        elif p.at_word("WHERE"):
+            # DELETE WHERE { ... }: the pattern group doubles as the
+            # deletion template
+            p.next()
+            group = p.parse_group()
+            del_kinded = []
+            for pat in group["patterns"]:
+                if len(pat) == 4 or isinstance(pat[1], Path):
+                    raise SparqlSyntaxError(
+                        "DELETE WHERE supports plain triple patterns")
+                del_kinded.append(tuple(
+                    (t, "var" if isinstance(t, tuple) and t[0] == "var"
+                     else "iri") for t in pat))
+        else:
+            del_kinded = _parse_update_block(p, allow_vars=True)
+            if p.at_word("INSERT"):
+                p.next()
+                ins_kinded = _parse_update_block(p, allow_vars=True)
+            p.eat_word("WHERE")
+            group = p.parse_group()
+    else:
+        raise SparqlSyntaxError("expected INSERT or DELETE")
+    if p.peek()[0] != "eof":
+        raise SparqlSyntaxError(
+            "trailing tokens after update at %r" % (p.peek()[1],))
+    store_meta = all(c in triples.columns
+                     for c in ("lang", "datatype", "obj_kind"))
+    sol = None
+    if group is not None:
+        kwargs = _group_kwargs(triples, group, store_meta)
+        sol = bgp_select(triples, group["patterns"], **kwargs)
+        if ins_kinded and del_kinded:
+            # both templates instantiate from the SAME solution set —
+            # materialize it once (lazy barrier, lineage truncated)
+            sol = sol.localCheckpoint(eager=False)
+    out = triples
+    if del_kinded:
+        del_df = _kinded_df(triples, del_kinded, sol).select(
+            "subj", "pred", "obj")
+        out = out.join(del_df, ["subj", "pred", "obj"], "left_anti")
+    if ins_kinded:
+        ins_df = _kinded_df(triples, ins_kinded, sol)
+        # insert only genuinely new (subj, pred, obj): existing rows
+        # (with their provenance) stay untouched
+        ins_df = ins_df.join(out.select("subj", "pred", "obj"),
+                             ["subj", "pred", "obj"], "left_anti")
+        out = out.unionByName(ins_df)
+    return out

@@ -33,7 +33,8 @@ _BNLJ_OK = {"ann_cosine_topk", "emb_near_dup", "ann_ivf_topk",
 _FULL_DOC_OK = {"rdfa_extract", "writer_roundtrip", "kg_degrees",
                 "kg_pagerank", "kg_bgp", "kg_bgp_minus", "kg_bgp_agg",
                 "kg_sparql", "kg_sparql_meta", "kg_sparql_graph",
-                "kg_sparql_sub", "rdfa_pred_counts",
+                "kg_sparql_sub", "kg_sparql_update",
+                "kg_sparql_describe", "rdfa_pred_counts",
                 "rdfa_text_identity", "rdfa_processor_counts",
                 "host_rollup", "entity_link_sameas", "stream_extract",
                 "dedup_clusters"}

@@ -515,3 +515,84 @@ def test_more_filter_functions(kg):
           "a" s:label ?l . BIND(SUBSTR(?l, 1, 3) AS ?sub)
         }""").collect()}
     assert got == {"App"}
+
+
+def test_describe(kg):
+    # constant target: <a> matches the store's subject term verbatim
+    got = {tuple(r) for r in sparql(
+        kg, P + 'DESCRIBE <a>').collect()}
+    assert got == {("a", S + "type", "Doc"), ("a", S + "label", "Apple"),
+                   ("a", S + "mirror", "m1"), ("a", S + "next", "b"),
+                   ("a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                    S + "Thing")}
+    # var target resolved through the WHERE group
+    got = {tuple(r) for r in sparql(kg, P + """
+        DESCRIBE ?d WHERE { ?d s:mirror ?m }""").collect()}
+    assert {t[0] for t in got} == {"a"}
+    with pytest.raises(SparqlSyntaxError):
+        sparql(kg, P + "DESCRIBE")
+    import rdf_rdfa_spark.pipeline.sparql  # noqa: F401
+    with pytest.raises(ValueError, match="WHERE"):
+        sparql(kg, P + "DESCRIBE ?d")
+
+
+def test_sparql_update_data_forms(spark):
+    from rdf_rdfa_spark.pipeline.sparql import sparql_update
+
+    kg = spark.createDataFrame(
+        [("a", S + "p", "b"), ("a", S + "p", "c")],
+        "subj string, pred string, obj string")
+    out = sparql_update(kg, P + """
+        INSERT DATA { <x> s:p "lit" . <x> s:q <y> }""")
+    got = {tuple(r) for r in out.collect()}
+    assert ("x", S + "p", "lit") in got and ("x", S + "q", "y") in got
+    assert len(got) == 4
+    # inserting an existing triple is a no-op (set semantics)
+    assert sparql_update(kg, P + 'INSERT DATA { <a> s:p <b> }').count() == 2
+    out = sparql_update(kg, P + 'DELETE DATA { <a> s:p <b> }')
+    assert {r["obj"] for r in out.collect()} == {"c"}
+    with pytest.raises(SparqlSyntaxError, match="ground"):
+        sparql_update(kg, P + 'INSERT DATA { ?x s:p <b> }')
+
+
+def test_sparql_update_where_forms(spark):
+    from rdf_rdfa_spark.pipeline.sparql import sparql_update
+
+    kg = spark.createDataFrame(
+        [("a", S + "genre", "news"), ("b", S + "genre", "blog"),
+         ("a", S + "type", "Doc"), ("b", S + "type", "Doc")],
+        "subj string, pred string, obj string")
+    # DELETE WHERE: patterns double as the deletion template
+    out = sparql_update(kg, P + 'DELETE WHERE { ?d s:genre ?g }')
+    assert {r["pred"] for r in out.collect()} == {S + "type"}
+    # DELETE + INSERT WHERE: predicate rename
+    out = sparql_update(kg, P + """
+        DELETE { ?d s:genre ?g } INSERT { ?d s:category ?g }
+        WHERE { ?d s:genre ?g }""")
+    got = {tuple(r) for r in out.collect()}
+    assert ("a", S + "category", "news") in got
+    assert ("b", S + "category", "blog") in got
+    assert not any(t[1] == S + "genre" for t in got)
+    assert len(got) == 4
+    # conditional INSERT only (no delete)
+    out = sparql_update(kg, P + """
+        INSERT { ?d s:kind "doc" } WHERE { ?d s:type "Doc" }""")
+    assert out.filter("pred = '%skind'" % S).count() == 2
+
+
+def test_sparql_update_preserves_store_schema(spark):
+    from rdf_rdfa_spark.pipeline.sparql import sparql_update
+
+    kg = spark.createDataFrame(
+        [("u1", "a", S + "name", "Anna", "literal", "en", None, "output")],
+        "url string, subj string, pred string, obj string, "
+        "obj_kind string, lang string, datatype string, graph string")
+    out = sparql_update(kg, P + """
+        INSERT DATA { <b> s:name "Bea"@fr . <b> s:link <c> }""")
+    assert out.columns == kg.columns
+    rows = {r["obj"]: r for r in out.collect()}
+    assert rows["Bea"]["obj_kind"] == "literal"
+    assert rows["Bea"]["lang"] == "fr"
+    assert rows["Bea"]["graph"] == "output"
+    assert rows["c"]["obj_kind"] == "iri"
+    assert rows["Anna"]["url"] == "u1"  # existing provenance untouched
