@@ -54,6 +54,11 @@ def main():
                          "store and print the result")
     ap.add_argument("--sparql-limit", type=int, default=20,
                     help="max rows printed for --sparql (default 20)")
+    ap.add_argument("--sparql-update", metavar="UPDATE",
+                    help="after materialization, apply a SPARQL UPDATE "
+                         "(INSERT/DELETE DATA, DELETE WHERE, "
+                         "DELETE{}INSERT{}WHERE{}) and commit the "
+                         "result as a NEW STORE SNAPSHOT")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -114,6 +119,18 @@ def main():
         out3 = os.path.join(args.output, "pages_rdfa")
         export_rdfa_pages(src).write.mode("overwrite").parquet(out3)
         manifest["exported_pages"] = out3
+
+    if args.sparql_update:
+        from rdf_rdfa_spark.pipeline.sparql import sparql_update
+
+        store = materialize.read_triples(spark, args.output)
+        updated = sparql_update(store, args.sparql_update)
+        # the update is functional: commit it as a NEW bucketed store
+        # root (the original store and its snapshots stay intact)
+        out_u = os.path.join(args.output, "updated")
+        materialize.write_triples(updated.drop("bucket"), out_u,
+                                  mode="overwrite")
+        manifest["updated_store"] = out_u
 
     if args.sparql:
         from rdf_rdfa_spark.pipeline.sparql import sparql as run_sparql
