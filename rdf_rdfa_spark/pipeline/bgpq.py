@@ -79,6 +79,18 @@ def zero_or_one(part) -> Path:
     return Path("opt", (part,))
 
 
+def negated(*preds) -> Path:
+    """!(p1|p2|...) — negated property set (SPARQL 1.1 §9.1): one
+    step over any predicate NOT in the set.  Forward members only
+    (the !(p|^q) mixed form is not supported)."""
+    for p in preds:
+        if not isinstance(p, str):
+            raise ValueError(
+                "negated property sets take plain predicate IRIs "
+                "(inverse members are not supported)")
+    return Path("neg", tuple(preds))
+
+
 def _closure(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     cur = edges.distinct().localCheckpoint(eager=False)
     n = cur.count()
@@ -148,6 +160,12 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
             F.col("n").alias("s"), F.col("n").alias("o"))
         return path_edges(triples, path.parts[0]).unionByName(
             nodes).distinct()
+    if path.op in ("neg", "neginv"):
+        src, dst = (("subj", "obj") if path.op == "neg"
+                    else ("obj", "subj"))
+        return (triples.filter(~F.col("pred").isin(list(path.parts)))
+                .select(F.col(src).alias("s"), F.col(dst).alias("o"))
+                .distinct())
     raise ValueError("unknown path op %r" % path.op)
 
 
@@ -176,6 +194,8 @@ def _invert(path):
         return Path("inv", (path,))
     if path.op == "inv":
         return path.parts[0]
+    if path.op in ("neg", "neginv"):
+        return Path("neginv" if path.op == "neg" else "neg", path.parts)
     if path.op == "seq":
         return Path("seq", tuple(_invert(p) for p in reversed(path.parts)))
     if path.op == "alt":
@@ -227,6 +247,13 @@ def _step(triples: DataFrame, path, frontier: DataFrame) -> DataFrame:
         return (frontier.distinct()
                 .unionByName(_step(triples, path.parts[0], frontier))
                 .distinct())
+    if path.op in ("neg", "neginv"):
+        src, dst = (("subj", "obj") if path.op == "neg"
+                    else ("obj", "subj"))
+        e = (triples.filter(~F.col("pred").isin(list(path.parts)))
+             .select(F.col(src).alias("_s"), F.col(dst).alias("_o")))
+        return (frontier.join(e, frontier["n"] == e["_s"])
+                .select("seed", F.col("_o").alias("n")).distinct())
     raise ValueError("unknown path op %r" % path.op)
 
 

@@ -9,7 +9,9 @@ plans — this module only builds ASTs):
   - PREFIX declarations, ``a`` → rdf:type
   - basic graph patterns with ``;`` predicate and ``,`` object lists
   - property paths: ``p1/p2``, ``p1|p2``, ``^p``, ``p?``, ``p+``,
-    ``p*``, parentheses
+    ``p*``, ``!(p1|p2)`` negated property sets, parentheses
+  - ``[ p o ; ... ]`` blank-node property lists (fresh existential
+    variables, stripped from SELECT * output)
   - OPTIONAL { }, MINUS { }, FILTER [NOT] EXISTS { },
     ``{ } UNION { }`` (of plain pattern groups)
   - GRAPH <iri> { } / GRAPH ?g { }: scopes patterns to the store's
@@ -24,7 +26,8 @@ plans — this module only builds ASTs):
     the SELECT clause, HAVING over aggregate expressions
   - subqueries: { SELECT ... } groups, compiled bottom-up and joined
     with the enclosing group on shared variables
-  - ORDER BY [ASC|DESC](?v), LIMIT n, OFFSET n (either order)
+  - ORDER BY ?v / ASC|DESC(expression), LIMIT n, OFFSET n (either
+    order)
   - UPDATE (separate entry point :func:`sparql_update`, functional —
     returns the updated DataFrame): INSERT DATA / DELETE DATA /
     DELETE WHERE / DELETE {} INSERT {} WHERE {}
@@ -48,6 +51,7 @@ from pyspark.sql import DataFrame, functions as F
 from .bgpq import (
     Path,
     alt,
+    negated,
     bgp_aggregate,
     bgp_construct,
     bgp_select,
@@ -77,7 +81,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<number>[+-]?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*)?:(?P<plocal>[A-Za-z0-9_.-]*)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|!=|&&|\|\||[{}().;,|/^+*?=<>!])
+  | (?P<op><=|>=|!=|&&|\|\||[{}().;,|/^+*?=<>!\[\]])
 """, re.X)
 
 
@@ -137,6 +141,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._anon = 0  # fresh [] blank-node variable counter
         # non-None while parsing a HAVING expression: collects the
         # aggregate calls it mentions as (placeholder, (fn, arg))
         self._having_aggs: list | None = None
@@ -248,6 +253,9 @@ class _Parser:
         if self.at_op("^"):
             self.next()
             return inv(self._path_unary())
+        if self.at_op("!"):
+            self.next()
+            return self._path_negated()
         p = self._path_primary()
         if self.at_op("+"):
             self.next()
@@ -259,6 +267,36 @@ class _Parser:
             self.next()
             return zero_or_one(p)
         return p
+
+    def _path_negated(self):
+        preds = []
+        if self.at_op("("):
+            self.next()
+            while True:
+                preds.append(self._neg_member())
+                if self.at_op("|"):
+                    self.next()
+                    continue
+                break
+            self.eat_op(")")
+        else:
+            preds.append(self._neg_member())
+        return negated(*preds)
+
+    def _neg_member(self):
+        k, v = self.peek()
+        if k == "iri":
+            self.next()
+            return v
+        if k == "pname":
+            self.next()
+            return self._pname_iri(v)
+        if k == "word" and v == "a":
+            self.next()
+            return RDF_TYPE
+        raise SparqlSyntaxError(
+            "negated property set member must be a predicate IRI "
+            "(inverse members are not supported)")
 
     def _path_primary(self):
         kind, val = self.peek()
@@ -285,12 +323,51 @@ class _Parser:
         return self.parse_path()
 
     # -- triples block ----------------------------------------------
+    def _bnode_pattern(self, patterns):
+        """[ p o ; ... ] → a fresh anonymous variable (existential;
+        stripped from SELECT * output) plus its nested patterns."""
+        self.eat_op("[")
+        self._anon += 1
+        v = var("_anon%d" % self._anon)
+        if not self.at_op("]"):
+            while True:
+                pr = self._parse_predicate()
+                while True:
+                    o = self._parse_object(patterns)
+                    patterns.append((v, pr, o))
+                    if self.at_op(","):
+                        self.next()
+                        continue
+                    break
+                if self.at_op(";"):
+                    self.next()
+                    if self.at_op("]"):
+                        break
+                    continue
+                break
+        self.eat_op("]")
+        return v
+
+    def _parse_object(self, patterns):
+        if self.at_op("["):
+            return self._bnode_pattern(patterns)
+        return self.parse_term()
+
     def parse_triples(self, patterns):
-        s = self.parse_term()
+        if self.at_op("["):
+            s = self._bnode_pattern(patterns)
+            # a bare [ p o ] . statement carries no outer predicates
+            if self.at_op("."):
+                self.next()
+                return
+            if self.at_op("}"):
+                return
+        else:
+            s = self.parse_term()
         while True:
             p = self._parse_predicate()
             while True:
-                o = self.parse_term()
+                o = self._parse_object(patterns)
                 patterns.append((s, p, o))
                 if self.at_op(","):
                     self.next()
@@ -736,12 +813,11 @@ class _Parser:
             while True:
                 if self.at_word("ASC", "DESC"):
                     d = self.next()[1].upper()
-                    self.eat_op("(")
-                    kind, v = self.next()
-                    self.eat_op(")")
-                    order.append((v, d == "DESC"))
+                    # full expression key: ASC(STRLEN(?l)) etc.
+                    expr = self.parse_expr_sql()
+                    order.append((expr, d == "DESC"))
                 elif self.peek()[0] == "var":
-                    order.append((self.next()[1], False))
+                    order.append(("`%s`" % self.next()[1], False))
                 else:
                     break
         q["order"] = order
@@ -868,7 +944,7 @@ def _subq_vars(q) -> set:
 def _apply_modifiers(out: DataFrame, q) -> DataFrame:
     order = q.get("order") or ()
     if order:
-        out = out.orderBy(*[F.col(v).desc() if d else F.col(v)
+        out = out.orderBy(*[F.expr(v).desc() if d else F.expr(v)
                             for v, d in order])
     if q.get("offset"):
         out = out.offset(q["offset"])
@@ -918,7 +994,7 @@ def _compile_select(triples: DataFrame, q, store_meta: bool) -> DataFrame:
         return _apply_modifiers(
             bgp_union(triples, g["union"], select=q.get("vars")), q)
     kwargs = _group_kwargs(triples, g, store_meta)
-    order_cols = [F.col(v).desc() if d else F.col(v)
+    order_cols = [F.expr(v).desc() if d else F.expr(v)
                   for v, d in q.get("order", [])]
     if q["aggs"] or q["group_by"] or q.get("having"):
         aggs = {}
@@ -957,6 +1033,16 @@ def _compile_select(triples: DataFrame, q, store_meta: bool) -> DataFrame:
             out = out.filter(F.expr(hexpr))
         if hidden:
             out = out.drop(*hidden)
+        return _apply_modifiers(out, q)
+    anons = ()
+    if q.get("vars") is None:
+        all_vars, _ = _pattern_var_info(g["patterns"])
+        anons = sorted(v for v in all_vars if v.startswith("_anon"))
+    if anons:
+        # [] blank nodes are existentials: strip them from SELECT *
+        # output (and re-dedup) BEFORE the solution modifiers apply
+        out = bgp_select(triples, g["patterns"], **kwargs)
+        out = out.drop(*anons).distinct()
         return _apply_modifiers(out, q)
     if q.get("offset"):
         out = bgp_select(triples, g["patterns"], select=q.get("vars"),

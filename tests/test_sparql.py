@@ -596,3 +596,46 @@ def test_sparql_update_preserves_store_schema(spark):
     assert rows["Bea"]["graph"] == "output"
     assert rows["c"]["obj_kind"] == "iri"
     assert rows["Anna"]["url"] == "u1"  # existing provenance untouched
+
+
+def test_negated_property_set(kg):
+    # everything reachable from "a" by any predicate EXCEPT type/label
+    got = {r["v"] for r in sparql(kg, P + """
+        SELECT ?v WHERE { "a" !(s:type|s:label) ?v }""").collect()}
+    assert got == {"m1", "b", S + "Thing"}
+    # single-member form and use under a closure
+    got = {r["v"] for r in sparql(kg, P + """
+        SELECT ?v WHERE { "a" !s:mirror ?v }""").collect()}
+    assert "m1" not in got and "b" in got
+    # bound-object seeding through the inverted negated step
+    got = {r["x"] for r in sparql(kg, P + """
+        SELECT ?x WHERE { ?x !(s:type|s:next) "m1" }""").collect()}
+    assert got == {"a"}
+    with pytest.raises(SparqlSyntaxError, match="negated property"):
+        sparql(kg, P + 'SELECT ?v WHERE { "a" !(^s:type) ?v }')
+
+
+def test_order_by_expression(kg):
+    rows = sparql(kg, P + """
+        SELECT ?l WHERE { ?d s:type "Doc" ; s:label ?l }
+        ORDER BY DESC(STRLEN(?l)) LIMIT 1""").collect()
+    assert [r["l"] for r in rows] == ["Apple"]
+    rows = sparql(kg, P + """
+        SELECT ?l WHERE { ?d s:type "Doc" ; s:label ?l }
+        ORDER BY ASC(STRLEN(?l)) ?l LIMIT 2""").collect()
+    assert [r["l"] for r in rows] == ["Fig", "Pear"]
+
+
+def test_blank_node_property_lists(kg):
+    # object bnode: docs whose mirror has label "Mirror"
+    got = {r["d"] for r in sparql(kg, P + """
+        SELECT ?d WHERE { ?d s:mirror [ s:label "Mirror" ] }""").collect()}
+    assert got == {"a"}
+    # subject bnode statement
+    got = {r["l"] for r in sparql(kg, P + """
+        SELECT ?l WHERE { [ s:type "Doc" ; s:label ?l ] . }""").collect()}
+    assert got == {"Apple", "Pear", "Fig"}
+    # SELECT * strips the anonymous existentials
+    df = sparql(kg, P + 'SELECT * WHERE { ?d s:mirror [ s:label ?ml ] }')
+    assert set(df.columns) == {"d", "ml"}
+    assert {(r["d"], r["ml"]) for r in df.collect()} == {("a", "Mirror")}
