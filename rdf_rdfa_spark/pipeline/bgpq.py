@@ -320,12 +320,18 @@ def _check_var_name(name: str) -> str:
     return name
 
 
-def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
+def _pattern_df(triples: DataFrame, s_p_o, buckets=None) -> DataFrame:
     """A pattern is (s, p, o) or (s, p, o, g): the optional 4th term
     scopes the pattern to the store's ``graph`` column (SPARQL GRAPH —
     the store routes processor diagnostics to a named graph exactly
     like the reference's rdfagraph option, reader.rb:311-317,459-466).
-    A graph VAR binds the column; a constant filters it."""
+    A graph VAR binds the column; a constant filters it.
+
+    ``buckets``: the materialized store's subject-bucketing modulus
+    (materialize.store_buckets) — a CONSTANT-subject pattern then also
+    filters the ``bucket`` PARTITION column, so the scan prunes to one
+    bucket directory (1/buckets of the store) before touching a row
+    group.  Point lookups on a 100 TB store read 1/64th of it."""
     g_term = None
     if len(s_p_o) == 4:
         s_term, p_term, o_term, g_term = s_p_o
@@ -416,15 +422,22 @@ def _pattern_df(triples: DataFrame, s_p_o) -> DataFrame:
         else:
             filters.append(col == F.lit(term))
     part = triples
+    if (buckets and "bucket" in triples.columns
+            and not isinstance(s_term, tuple)):
+        # same hash the sink used (materialize._bucketed)
+        part = part.filter(
+            F.col("bucket") == F.pmod(F.xxhash64(F.lit(s_term)),
+                                      F.lit(buckets)))
     for f in filters:
         part = part.filter(f)
     return part.select(*proj).distinct()
 
 
-def _join_patterns(triples: DataFrame, patterns) -> DataFrame:
+def _join_patterns(triples: DataFrame, patterns,
+                   buckets=None) -> DataFrame:
     out = None
     for s_p_o in patterns:
-        part = _pattern_df(triples, s_p_o)
+        part = _pattern_df(triples, s_p_o, buckets=buckets)
         if out is None:
             out = part
         else:
@@ -440,7 +453,7 @@ def _join_patterns(triples: DataFrame, patterns) -> DataFrame:
     return out
 
 
-def _group_df(triples: DataFrame, group) -> DataFrame:
+def _group_df(triples: DataFrame, group, buckets=None) -> DataFrame:
     """A sub-group (OPTIONAL / MINUS / FILTER [NOT] EXISTS operand):
     either a plain pattern list, or a dict with ``patterns`` plus
     group-scoped ``filters`` (Column predicates or SQL strings applied
@@ -452,7 +465,7 @@ def _group_df(triples: DataFrame, group) -> DataFrame:
         filters = group.get("filters") or ()
     else:
         patterns, filters = group, ()
-    df = _join_patterns(triples, patterns)
+    df = _join_patterns(triples, patterns, buckets=buckets)
     for flt in filters:
         df = df.filter(flt)
     return df
@@ -472,7 +485,8 @@ def bgp_union(triples: DataFrame, groups, select=None) -> DataFrame:
 def bgp_select(triples: DataFrame, patterns, select=None,
                filters=None, optional=None, minus=None,
                not_exists=None, exists=None, order_by=None, limit=None,
-               values=None, bind=None, subselects=None) -> DataFrame:
+               values=None, bind=None, subselects=None,
+               buckets=None) -> DataFrame:
     """patterns: [(s, p, o)] where each position is a concrete string
     or var('name'). → one column per variable (or ``select``'s subset),
     one row per solution (DISTINCT — set semantics like SPARQL
@@ -512,7 +526,8 @@ def bgp_select(triples: DataFrame, patterns, select=None,
     no variable cross-joins, like a disjoint pattern group)."""
     if not patterns and not subselects:
         raise ValueError("empty BGP")
-    out = _join_patterns(triples, patterns) if patterns else None
+    out = (_join_patterns(triples, patterns, buckets=buckets)
+           if patterns else None)
     for sub in (subselects or ()):
         if out is None:
             out = sub
@@ -534,7 +549,7 @@ def bgp_select(triples: DataFrame, patterns, select=None,
         out = out.withColumn(name, expr)
         required_vars.add(name)
     for group in (optional or ()):
-        opt = _group_df(triples, group)
+        opt = _group_df(triples, group, buckets=buckets)
         dup_meta = [c for c in opt.columns
                     if _is_meta(c) and c in out.columns]
         if dup_meta:
@@ -563,14 +578,14 @@ def bgp_select(triples: DataFrame, patterns, select=None,
     for flt in (filters or ()):
         out = out.filter(flt)
     for group in (minus or ()):
-        neg = _group_df(triples, group)
+        neg = _group_df(triples, group, buckets=buckets)
         shared = [c for c in neg.columns
                   if c in out.columns and not _is_meta(c)]
         if shared:
             out = out.join(neg.select(*shared), shared, "left_anti")
         # no shared variables → MINUS removes nothing (SPARQL spec)
     for group in (not_exists or ()):
-        neg = _group_df(triples, group)
+        neg = _group_df(triples, group, buckets=buckets)
         shared = [c for c in neg.columns
                   if c in out.columns and not _is_meta(c)]
         if shared:
@@ -580,7 +595,7 @@ def bgp_select(triples: DataFrame, patterns, select=None,
             # empties the solution set (anti join on a TRUE condition)
             out = out.join(neg.limit(1), F.lit(True), "left_anti")
     for group in (exists or ()):
-        pos = _group_df(triples, group)
+        pos = _group_df(triples, group, buckets=buckets)
         shared = [c for c in pos.columns
                   if c in out.columns and not _is_meta(c)]
         if shared:

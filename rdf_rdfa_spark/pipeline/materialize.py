@@ -42,6 +42,21 @@ def write_triples(triples: DataFrame, root: str, buckets: int = 64,
     _bucketed(triples, buckets).write.mode(mode).partitionBy(
         "graph", "bucket"
     ).parquet(os.path.join(root, "triples"))
+    # record the bucketing modulus: constant-subject queries prune to
+    # one bucket directory only if they hash with the SAME modulus
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "_store_meta.json"), "w") as fh:
+        json.dump({"buckets": buckets}, fh)
+
+
+def store_buckets(root: str) -> int | None:
+    """The store's subject-bucketing modulus (None for stores written
+    before it was recorded — pruning is then skipped, never wrong)."""
+    try:
+        with open(os.path.join(root, "_store_meta.json")) as fh:
+            return int(json.load(fh)["buckets"])
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def read_triples(spark, root: str, snapshot: int | None = None) -> DataFrame:

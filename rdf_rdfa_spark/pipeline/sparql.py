@@ -953,10 +953,11 @@ def _apply_modifiers(out: DataFrame, q) -> DataFrame:
     return out
 
 
-def _group_kwargs(triples: DataFrame, g, store_meta: bool) -> dict:
+def _group_kwargs(triples: DataFrame, g, store_meta: bool,
+                  buckets=None) -> dict:
     """A parsed group dict → bgp_select keyword arguments (subqueries
     compiled recursively, filter/bind scope validated)."""
-    subs = [_compile_select(triples, sq, store_meta)
+    subs = [_compile_select(triples, sq, store_meta, buckets=buckets)
             for sq in g["subqueries"]]
     extra = set(g["bind"]) | (set(g["values"][0]) if g["values"]
                               else set())
@@ -980,10 +981,12 @@ def _group_kwargs(triples: DataFrame, g, store_meta: bool) -> dict:
         values=g["values"],
         bind={k: F.expr(v) for k, v in g["bind"].items()},
         subselects=subs or None,
+        buckets=buckets,
     )
 
 
-def _compile_select(triples: DataFrame, q, store_meta: bool) -> DataFrame:
+def _compile_select(triples: DataFrame, q, store_meta: bool,
+                    buckets=None) -> DataFrame:
     """A SELECT-form query dict (top level or subquery) → DataFrame
     with its own solution modifiers applied."""
     g = q["group"]
@@ -993,7 +996,7 @@ def _compile_select(triples: DataFrame, q, store_meta: bool) -> DataFrame:
                 "UNION is supported as the entire SELECT body")
         return _apply_modifiers(
             bgp_union(triples, g["union"], select=q.get("vars")), q)
-    kwargs = _group_kwargs(triples, g, store_meta)
+    kwargs = _group_kwargs(triples, g, store_meta, buckets=buckets)
     order_cols = [F.expr(v).desc() if d else F.expr(v)
                   for v, d in q.get("order", [])]
     if q["aggs"] or q["group_by"] or q.get("having"):
@@ -1056,29 +1059,33 @@ def _compile_select(triples: DataFrame, q, store_meta: bool) -> DataFrame:
         order_by=order_cols or None, limit=q.get("limit"), **kwargs)
 
 
-def sparql(triples: DataFrame, query: str):
+def sparql(triples: DataFrame, query: str, buckets: int | None = None):
     """Execute a SPARQL query (see module docstring for the subset)
     over a (subj, pred, obj) triples DataFrame.  Returns a DataFrame
-    for SELECT/CONSTRUCT, bool for ASK."""
+    for SELECT/CONSTRUCT, bool for ASK.
+
+    ``buckets``: the materialized store's subject-bucketing modulus
+    (``materialize.store_buckets(root)``) — constant-subject patterns
+    then prune the scan to one bucket PARTITION directory."""
     p = _Parser(query)
     q = p.parse_query()
     g = q["group"]
     store_meta = all(c in triples.columns
                      for c in ("lang", "datatype", "obj_kind"))
     if q["form"] == "select":
-        return _compile_select(triples, q, store_meta)
+        return _compile_select(triples, q, store_meta, buckets=buckets)
     if q["form"] == "describe":
         from .bgpq import bgp_describe
 
         if g is None:
             return bgp_describe(triples, q["targets"])
-        kwargs = _group_kwargs(triples, g, store_meta)
+        kwargs = _group_kwargs(triples, g, store_meta, buckets=buckets)
         return bgp_describe(triples, q["targets"], g["patterns"],
                             **kwargs)
     if g["union"] is not None:
         raise SparqlSyntaxError(
             "UNION is supported as the entire SELECT body")
-    kwargs = _group_kwargs(triples, g, store_meta)
+    kwargs = _group_kwargs(triples, g, store_meta, buckets=buckets)
     if q["form"] == "ask":
         from .bgpq import bgp_ask
 

@@ -136,7 +136,8 @@ def main():
         from rdf_rdfa_spark.pipeline.sparql import sparql as run_sparql
 
         store = materialize.read_triples(spark, args.output)
-        result = run_sparql(store, args.sparql)
+        result = run_sparql(store, args.sparql,
+                            buckets=materialize.store_buckets(args.output))
         if isinstance(result, bool):
             print(json.dumps({"ask": result}))
         else:

@@ -1140,3 +1140,32 @@ def test_path_closure_matches_python_reference(spark):
                         want.add((a, d))
                         grew = True
         assert got == want, seed
+
+
+def test_sparql_bucket_pruning_on_store(spark, sf_dir, tmp_path):
+    """Constant-subject SPARQL over the materialized store prunes to
+    ONE bucket partition directory: the partition filter on `bucket`
+    reaches the scan, exactly like materialize.subject_lookup — a
+    point lookup on a 100 TB store reads 1/buckets of it."""
+    from rdf_rdfa_spark.pipeline import materialize
+    from rdf_rdfa_spark.pipeline.sparql import sparql
+
+    root = str(tmp_path / "store")
+    pages = corpus.pages_df(spark, sf_dir)
+    materialize.materialize_resumable(pages, root, chunks=2, buckets=16)
+    assert materialize.store_buckets(root) == 16
+    store = materialize.read_triples(spark, root)
+    subj = store.select("subj").first()["subj"]
+    q = 'SELECT ?p ?o WHERE { <%s> ?p ?o }' % subj
+    pruned = sparql(store, q, buckets=16)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan
+    # same answers as the unpruned query
+    a = {tuple(r) for r in pruned.collect()}
+    b = {tuple(r) for r in sparql(store, q).collect()}
+    assert a == b and a
+    # and agrees with the dedicated point-lookup helper
+    c = {(r["pred"], r["obj"]) for r in materialize.subject_lookup(
+        spark, root, subj, buckets=16).select("pred", "obj").collect()}
+    assert a == c
