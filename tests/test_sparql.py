@@ -139,7 +139,9 @@ def test_parser_never_crashes_on_garbage(kg):
              "OPTIONAL", "<http://x>", '"lit"', ".", ";", ",", "|",
              "/", "^", "+", "*", "a", "PREFIX", "s:", "UNION", "ASK",
              "MINUS", "BIND", "AS", "VALUES", "ORDER", "BY", "LIMIT",
-             "5", "&&", "=", "@en", "^^"]
+             "5", "&&", "=", "@en", "^^", "[", "]", "!", "GRAPH",
+             "HAVING", "DESCRIBE", "GROUP_CONCAT", "SEPARATOR",
+             "COUNT", "DISTINCT", "IN"]
     for _ in range(300):
         q = " ".join(rnd.choice(frags)
                      for _ in range(rnd.randrange(1, 25)))
@@ -639,3 +641,14 @@ def test_blank_node_property_lists(kg):
     df = sparql(kg, P + 'SELECT * WHERE { ?d s:mirror [ s:label ?ml ] }')
     assert set(df.columns) == {"d", "ml"}
     assert {(r["d"], r["ml"]) for r in df.collect()} == {("a", "Mirror")}
+
+
+def test_in_operator(kg):
+    got = {r["d"] for r in sparql(kg, P + """
+        SELECT ?d WHERE { ?d s:label ?l . FILTER (?l IN ("Apple", "Fig")) }
+    """).collect()}
+    assert got == {"a", "c"}
+    got = {r["d"] for r in sparql(kg, P + """
+        SELECT ?d WHERE { ?d s:label ?l . FILTER (!(?l IN ("Apple"))) }
+    """).collect()}
+    assert got == {"b", "c", "m1"}
