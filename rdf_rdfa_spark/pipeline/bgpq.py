@@ -257,6 +257,16 @@ def _step(triples: DataFrame, path, frontier: DataFrame) -> DataFrame:
     raise ValueError("unknown path op %r" % path.op)
 
 
+def _has_closure(path) -> bool:
+    """Does the path contain a closure operator (p+/p*/p?) anywhere?
+    Only those materialize an unbounded relation when unseeded."""
+    if isinstance(path, str):
+        return False
+    if path.op in ("plus", "star", "opt"):
+        return True
+    return any(_has_closure(p) for p in path.parts)
+
+
 def _seeded_closure(triples: DataFrame, inner, seeds: DataFrame,
                     reflexive: bool, max_iters: int = 64) -> DataFrame:
     """BFS from the seed set: per round one frontier ⋈ edges shuffle
@@ -526,9 +536,48 @@ def bgp_select(triples: DataFrame, patterns, select=None,
     no variable cross-joins, like a disjoint pattern group)."""
     if not patterns and not subselects:
         raise ValueError("empty BGP")
+    # VALUES-seeded closure paths: when the inline binding table fixes
+    # one endpoint of a closure path to a SMALL literal set, seed the
+    # frontier from those values instead of materializing the full
+    # closure — the constant-endpoint optimization generalized to
+    # bound sets (<x> p+ ?y via VALUES ?x { ... })
+    prebuilt = []
+    if values is not None and patterns:
+        v_names, v_rows = values
+        col_vals = {}
+        for i, n in enumerate(v_names):
+            vals = {r[i] for r in v_rows
+                    if r[i] is not None and not isinstance(r[i], tuple)}
+            if vals:
+                col_vals[n] = sorted(vals)
+        kept = []
+        for pat in patterns:
+            if (len(pat) == 3 and isinstance(pat[1], Path)
+                    and _has_closure(pat[1])
+                    and isinstance(pat[0], tuple) and pat[0][0] == "var"
+                    and isinstance(pat[2], tuple) and pat[2][0] == "var"
+                    and pat[0][1] != pat[2][1]
+                    and (pat[0][1] in col_vals
+                         or pat[2][1] in col_vals)):
+                if pat[0][1] in col_vals:
+                    sname, oname = pat[0][1], pat[2][1]
+                    path_fwd = pat[1]
+                else:
+                    sname, oname = pat[2][1], pat[0][1]
+                    path_fwd = _invert(pat[1])
+                seeds = triples.sparkSession.createDataFrame(
+                    [(v, v) for v in col_vals[sname]],
+                    "seed string, n string")
+                prebuilt.append(
+                    _step(triples, path_fwd, seeds)
+                    .select(F.col("seed").alias(sname),
+                            F.col("n").alias(oname)).distinct())
+                continue
+            kept.append(pat)
+        patterns = kept
     out = (_join_patterns(triples, patterns, buckets=buckets)
            if patterns else None)
-    for sub in (subselects or ()):
+    for sub in list(prebuilt) + list(subselects or ()):
         if out is None:
             out = sub
             continue

@@ -156,3 +156,46 @@ def test_group_level_filters(spark, two_components):
                 "filters": ["t = 'never'"]}],
     ).collect()
     assert {r["s"] for r in rows} == {"a", "c"}
+
+
+def test_values_seeded_closure(spark, two_components):
+    """VALUES fixing one endpoint of a closure path seeds the frontier
+    from the literal set — the constant-endpoint optimization
+    generalized to bound sets; the BFS never explores the dense
+    component."""
+    from rdf_rdfa_spark.pipeline.bgpq import bgp_select, var
+
+    rows = bgp_select(
+        two_components,
+        [(var("x"), one_or_more("p"), var("y"))],
+        values=(["x"], [("a",)]),
+    ).collect()
+    assert {(r["x"], r["y"]) for r in rows} == {("a", "b"), ("a", "c")}
+    assert bgpq.last_seeded_stats["visited_rows"] == 2
+    # object-side VALUES runs the inverted path
+    rows = bgp_select(
+        two_components,
+        [(var("x"), one_or_more("p"), var("y"))],
+        values=(["y"], [("c",)]),
+    ).collect()
+    assert {(r["x"], r["y"]) for r in rows} == {("a", "c"), ("b", "c")}
+    assert bgpq.last_seeded_stats["visited_rows"] == 2
+    # multi-value seed set
+    rows = bgp_select(
+        two_components,
+        [(var("x"), one_or_more("p"), var("y"))],
+        values=(["x"], [("a",), ("b",)]),
+    ).collect()
+    assert {(r["x"], r["y"]) for r in rows} == {
+        ("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_sparql_values_seeded_path(spark, two_components):
+    from rdf_rdfa_spark.pipeline.sparql import sparql
+
+    got = {(r["x"], r["y"]) for r in sparql(two_components, """
+        SELECT ?x ?y WHERE {
+          ?x <p>+ ?y . VALUES ?x { "a" }
+        }""").collect()}
+    assert got == {("a", "b"), ("a", "c")}
+    assert bgpq.last_seeded_stats["visited_rows"] == 2
