@@ -4,7 +4,8 @@ Parses a practical SPARQL 1.1 subset and compiles it onto the
 declarative operators in :mod:`bgpq` (everything executes as Catalyst
 plans — this module only builds ASTs):
 
-  - SELECT [DISTINCT] ?vars|* / ASK / CONSTRUCT {template} /
+  - SELECT [DISTINCT] ?vars|* / ASK / CONSTRUCT {template} (and the
+    CONSTRUCT WHERE { } shorthand) /
     DESCRIBE <iri>|?var [WHERE { }] (subject-scoped description)
   - PREFIX declarations, ``a`` → rdf:type
   - basic graph patterns with ``;`` predicate and ``,`` object lists
@@ -722,6 +723,20 @@ class _Parser:
             return q
         if self.at_word("CONSTRUCT"):
             self.next()
+            if self.at_word("WHERE"):
+                # CONSTRUCT WHERE { ... } shorthand: the pattern group
+                # doubles as the template (plain triple patterns only)
+                self.next()
+                g = self.parse_group()
+                for pat in g["patterns"]:
+                    if len(pat) == 4 or isinstance(pat[1], Path):
+                        raise SparqlSyntaxError(
+                            "CONSTRUCT WHERE supports plain triple "
+                            "patterns (no GRAPH scoping or paths)")
+                q = {"form": "construct", "template": g["patterns"],
+                     "group": g}
+                self._parse_modifiers(q)
+                return q
             tmpl_group: list = []
             self.eat_op("{")
             while not self.at_op("}"):

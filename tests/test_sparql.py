@@ -652,3 +652,11 @@ def test_in_operator(kg):
         SELECT ?d WHERE { ?d s:label ?l . FILTER (!(?l IN ("Apple"))) }
     """).collect()}
     assert got == {"b", "c", "m1"}
+
+
+def test_construct_where_shorthand(kg):
+    got = {tuple(r) for r in sparql(kg, P + """
+        CONSTRUCT WHERE { ?x s:next ?y }""").collect()}
+    assert got == {("a", S + "next", "b"), ("b", S + "next", "c")}
+    with pytest.raises(SparqlSyntaxError, match="plain triple"):
+        sparql(kg, P + "CONSTRUCT WHERE { ?x s:next+ ?y }")
