@@ -39,9 +39,14 @@ def _bucketed(triples: DataFrame, buckets: int) -> DataFrame:
 
 def write_triples(triples: DataFrame, root: str, buckets: int = 64,
                   mode: str = "append") -> None:
-    _bucketed(triples, buckets).write.mode(mode).partitionBy(
-        "graph", "bucket"
-    ).parquet(os.path.join(root, "triples"))
+    # sortWithinPartitions(pred, subj): clusters each parquet file's
+    # row groups by predicate, so a pred-filtered scan (every BGP
+    # pattern) skips row groups via min/max stats — the poor man's
+    # z-order for the two columns every query filters on
+    (_bucketed(triples, buckets)
+     .sortWithinPartitions("bucket", "pred", "subj")
+     .write.mode(mode).partitionBy("graph", "bucket")
+     .parquet(os.path.join(root, "triples")))
     # record the bucketing modulus: constant-subject queries prune to
     # one bucket directory only if they hash with the SAME modulus
     os.makedirs(root, exist_ok=True)
