@@ -278,6 +278,7 @@ def _seeded_closure(triples: DataFrame, inner, seeds: DataFrame,
     visited = None
     frontier = seeds
     rounds = added = 0
+    n_new = 1
     for _ in range(max_iters):
         step = _step(triples, inner, frontier)
         if visited is not None:
@@ -292,6 +293,13 @@ def _seeded_closure(triples: DataFrame, inner, seeds: DataFrame,
                    else visited.unionByName(step)
                    .localCheckpoint(eager=False))
         frontier = step
+    if n_new != 0:
+        # truncating would silently return WRONG (partial) answers —
+        # a graph with diameter beyond the cap must fail loudly
+        raise ValueError(
+            "seeded path closure did not converge within %d rounds "
+            "(frontier still growing) — raise max_iters for graphs "
+            "of this diameter" % max_iters)
     last_seeded_stats.clear()
     last_seeded_stats.update({"rounds": rounds, "visited_rows": added})
     if visited is None:

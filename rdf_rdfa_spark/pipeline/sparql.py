@@ -1054,7 +1054,12 @@ def _compile_select(triples: DataFrame, q, store_meta: bool,
         return _apply_modifiers(out, q)
     anons = ()
     if q.get("vars") is None:
-        all_vars, _ = _pattern_var_info(g["patterns"])
+        # anon existentials from [] in the required patterns AND in
+        # OPTIONAL groups (whose columns join the solution set)
+        scope = list(g["patterns"])
+        for og in g["optional"]:
+            scope += og["patterns"] if isinstance(og, dict) else og
+        all_vars, _ = _pattern_var_info(scope)
         anons = sorted(v for v in all_vars if v.startswith("_anon"))
     if anons:
         # [] blank nodes are existentials: strip them from SELECT *

@@ -660,3 +660,14 @@ def test_construct_where_shorthand(kg):
     assert got == {("a", S + "next", "b"), ("b", S + "next", "c")}
     with pytest.raises(SparqlSyntaxError, match="plain triple"):
         sparql(kg, P + "CONSTRUCT WHERE { ?x s:next+ ?y }")
+
+
+def test_blank_node_in_optional_stripped_from_select_star(kg):
+    df = sparql(kg, P + """
+        SELECT * WHERE {
+          ?d s:type "Doc" .
+          OPTIONAL { ?d s:mirror [ s:label ?ml ] }
+        }""")
+    assert set(df.columns) == {"d", "ml"}
+    by_d = {r["d"]: r["ml"] for r in df.collect()}
+    assert by_d == {"a": "Mirror", "b": None, "c": None}
