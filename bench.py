@@ -334,6 +334,10 @@ def run_sf1(sf_dir: str, budget_sec: float | None = None) -> dict:
         ("kg_sparql_sub", lambda: Q["kg_sparql_sub"](spark, sf1_dir).count()),
         ("kg_sparql_graph",
          lambda: Q["kg_sparql_graph"](spark, sf1_dir).count()),
+        ("kg_sparql_update",
+         lambda: Q["kg_sparql_update"](spark, sf1_dir).count()),
+        ("kg_sparql_describe",
+         lambda: Q["kg_sparql_describe"](spark, sf1_dir).count()),
         ("dedup_clusters_prod", lambda: _prod_clusters().count()),
         ("dedup_keep_best_prod", lambda: _prod_keep_best().count()),
         ("dedup_ngram_capped", lambda: _dedup.ngram_jaccard_pairs(
