@@ -69,6 +69,24 @@ def pagerank(triples: DataFrame, iters: int = 10) -> DataFrame:
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    # the driver knows the graph size here — size the per-round
+    # shuffles to it (restored after plan construction): 10 rounds x
+    # several stages of 64 near-empty reducers was ~25% of the
+    # wall-clock on a 10k-node graph, and a real-cluster session's
+    # larger default stays the ceiling for web-scale graphs
+    sess = triples.sparkSession
+    prev_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    n_parts = max(8, min(int(prev_parts), n_nodes // 50_000 + 1))
+    sess.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        ranks = _pagerank_rounds(e, nodes, n_nodes, iters)
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return ranks
+
+
+def _pagerank_rounds(e: DataFrame, nodes: DataFrame, n_nodes: int,
+                     iters: int) -> DataFrame:
     # referenced three times per iteration (contribs join, dangling
     # anti-join, and via ranks' lineage) — materialize once
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
