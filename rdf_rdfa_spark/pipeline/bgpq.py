@@ -554,10 +554,13 @@ def bgp_select(triples: DataFrame, patterns, select=None,
         v_names, v_rows = values
         col_vals = {}
         for i, n in enumerate(v_names):
-            vals = {r[i] for r in v_rows
-                    if r[i] is not None and not isinstance(r[i], tuple)}
-            if vals:
-                col_vals[n] = sorted(vals)
+            cells = [r[i] for r in v_rows]
+            # a single UNDEF row leaves the var unconstrained — it
+            # must NOT narrow the seed set
+            if any(c is None or isinstance(c, tuple) for c in cells):
+                continue
+            if cells:
+                col_vals[n] = sorted(set(cells))
         kept = []
         for pat in patterns:
             if (len(pat) == 3 and isinstance(pat[1], Path)
@@ -594,14 +597,35 @@ def bgp_select(triples: DataFrame, patterns, select=None,
         out = out.join(sub, shared) if shared else out.crossJoin(sub)
     required_vars = set(out.columns)
     if values is not None:
+        # UNDEF cells (None) leave that variable unconstrained for the
+        # row: rows are grouped by their defined-column mask, each
+        # group joins on its own columns, and the per-group results
+        # union (set semantics dedup across overlapping rows)
         names, rows = values
-        vdf = triples.sparkSession.createDataFrame(
-            [tuple(r) for r in rows], list(names))
-        shared = [c for c in vdf.columns if c in out.columns]
-        if not shared:
-            raise ValueError("VALUES shares no variable with the patterns")
-        out = out.join(F.broadcast(vdf), shared)
-        required_vars |= set(vdf.columns)
+        by_mask: dict = {}
+        for r in rows:
+            mask = tuple(i for i, cell in enumerate(r)
+                         if cell is not None)
+            by_mask.setdefault(mask, []).append(r)
+        outs = []
+        for mask, rs in by_mask.items():
+            if not mask:
+                outs.append(out)  # an all-UNDEF row matches everything
+                continue
+            sub_names = [names[i] for i in mask]
+            vdf = triples.sparkSession.createDataFrame(
+                [tuple(r[i] for i in mask) for r in rs], sub_names)
+            shared = [c for c in vdf.columns if c in out.columns]
+            if not shared:
+                raise ValueError(
+                    "VALUES shares no variable with the patterns")
+            outs.append(out.join(F.broadcast(vdf.distinct()), shared))
+        out = outs[0]
+        for nxt in outs[1:]:
+            out = out.unionByName(nxt)
+        if len(outs) > 1:
+            out = out.distinct()
+        required_vars |= set(names)
     for name, expr in (bind or {}).items():
         out = out.withColumn(name, expr)
         required_vars.add(name)

@@ -22,6 +22,7 @@ plans — this module only builds ASTs):
     REGEX → RLIKE, STRLEN/CONTAINS/STRSTARTS/STRENDS/UCASE/LCASE/STR,
     BOUND/IF/COALESCE/CONCAT/SUBSTR/REPLACE)
   - BIND(expr AS ?v), VALUES ?v { ... } / VALUES (?a ?b) { (..) .. }
+    with UNDEF cells (per-row defined-column mask join semantics)
   - GROUP BY + COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT aggregates
     (DISTINCT inside the call; GROUP_CONCAT(?v; SEPARATOR="...")) in
     the SELECT clause, HAVING over aggregate expressions
@@ -530,9 +531,16 @@ class _Parser:
                 self.next()
                 row = []
                 while not self.at_op(")"):
-                    row.append(self.parse_term())
+                    if self.at_word("UNDEF"):
+                        self.next()
+                        row.append(None)
+                    else:
+                        row.append(self.parse_term())
                 self.eat_op(")")
                 rows.append(tuple(row))
+            elif self.at_word("UNDEF"):
+                self.next()
+                rows.append((None,))
             else:
                 rows.append((self.parse_term(),))
         self.eat_op("}")

@@ -671,3 +671,27 @@ def test_blank_node_in_optional_stripped_from_select_star(kg):
     assert set(df.columns) == {"d", "ml"}
     by_d = {r["d"]: r["ml"] for r in df.collect()}
     assert by_d == {"a": "Mirror", "b": None, "c": None}
+
+
+def test_values_undef(kg):
+    # UNDEF leaves the column unconstrained for that row
+    got = {(r["d"], r["l"]) for r in sparql(kg, P + """
+        SELECT ?d ?l WHERE {
+          ?d s:label ?l .
+          VALUES (?d ?l) { ("a" UNDEF) (UNDEF "Fig") }
+        }""").collect()}
+    assert got == {("a", "Apple"), ("c", "Fig")}
+    # an all-UNDEF row matches everything (no constraint)
+    got = {r["d"] for r in sparql(kg, P + """
+        SELECT ?d WHERE { ?d s:type "Doc" . VALUES ?d { UNDEF } }
+    """).collect()}
+    assert got == {"a", "b", "c"}
+    # UNDEF present for a closure-path var → no seed narrowing
+    kg2 = kg.sparkSession.createDataFrame(
+        [("a", S + "next", "b"), ("b", S + "next", "c")],
+        "subj string, pred string, obj string")
+    got = {(r["x"], r["y"]) for r in sparql(kg2, P + """
+        SELECT ?x ?y WHERE {
+          ?x s:next+ ?y . VALUES ?x { "a" UNDEF }
+        }""").collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
