@@ -79,16 +79,25 @@ def zero_or_one(part) -> Path:
     return Path("opt", (part,))
 
 
-def negated(*preds) -> Path:
-    """!(p1|p2|...) — negated property set (SPARQL 1.1 §9.1): one
-    step over any predicate NOT in the set.  Forward members only
-    (the !(p|^q) mixed form is not supported)."""
-    for p in preds:
+def negated(*preds, inverse=()) -> Path:
+    """!(p1|p2|^q1|...) — negated property set (SPARQL 1.1 §9.1):
+    ``preds`` are the forward members, ``inverse`` the ^-prefixed
+    ones.  Per spec the result is the union of one forward step whose
+    predicate is outside the forward set and one REVERSED step whose
+    predicate is outside the inverse set (each component only present
+    when its member list is — a pure-inverse set matches only
+    reversed edges)."""
+    for p in (*preds, *inverse):
         if not isinstance(p, str):
             raise ValueError(
-                "negated property sets take plain predicate IRIs "
-                "(inverse members are not supported)")
-    return Path("neg", tuple(preds))
+                "negated property set members must be plain "
+                "predicate IRIs")
+    parts = []
+    if preds or not inverse:
+        parts.append(Path("neg", tuple(preds)))
+    if inverse:
+        parts.append(Path("inv", (Path("neg", tuple(inverse)),)))
+    return parts[0] if len(parts) == 1 else Path("alt", tuple(parts))
 
 
 def _closure(edges: DataFrame, max_iters: int = 25) -> DataFrame:

@@ -10,7 +10,8 @@ plans — this module only builds ASTs):
   - PREFIX declarations, ``a`` → rdf:type
   - basic graph patterns with ``;`` predicate and ``,`` object lists
   - property paths: ``p1/p2``, ``p1|p2``, ``^p``, ``p?``, ``p+``,
-    ``p*``, ``!(p1|p2)`` negated property sets, parentheses
+    ``p*``, ``!(p1|p2|^q)`` negated property sets (incl. inverse
+    members), parentheses
   - ``[ p o ; ... ]`` blank-node property lists (fresh existential
     variables, stripped from SELECT * output)
   - OPTIONAL { }, MINUS { }, FILTER [NOT] EXISTS { },
@@ -271,34 +272,40 @@ class _Parser:
         return p
 
     def _path_negated(self):
-        preds = []
+        members = []
         if self.at_op("("):
             self.next()
             while True:
-                preds.append(self._neg_member())
+                members.append(self._neg_member())
                 if self.at_op("|"):
                     self.next()
                     continue
                 break
             self.eat_op(")")
         else:
-            preds.append(self._neg_member())
-        return negated(*preds)
+            members.append(self._neg_member())
+        fwd = [m for m, is_inv in members if not is_inv]
+        invs = [m for m, is_inv in members if is_inv]
+        return negated(*fwd, inverse=tuple(invs))
 
     def _neg_member(self):
+        is_inv = False
+        if self.at_op("^"):
+            self.next()
+            is_inv = True
         k, v = self.peek()
         if k == "iri":
             self.next()
-            return v
+            return v, is_inv
         if k == "pname":
             self.next()
-            return self._pname_iri(v)
+            return self._pname_iri(v), is_inv
         if k == "word" and v == "a":
             self.next()
-            return RDF_TYPE
+            return RDF_TYPE, is_inv
         raise SparqlSyntaxError(
-            "negated property set member must be a predicate IRI "
-            "(inverse members are not supported)")
+            "negated property set member must be a (possibly "
+            "^-inverted) predicate IRI")
 
     def _path_primary(self):
         kind, val = self.peek()

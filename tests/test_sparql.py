@@ -614,7 +614,7 @@ def test_negated_property_set(kg):
         SELECT ?x WHERE { ?x !(s:type|s:next) "m1" }""").collect()}
     assert got == {"a"}
     with pytest.raises(SparqlSyntaxError, match="negated property"):
-        sparql(kg, P + 'SELECT ?v WHERE { "a" !(^s:type) ?v }')
+        sparql(kg, P + 'SELECT ?v WHERE { "a" !(?p) ?v }')
 
 
 def test_order_by_expression(kg):
@@ -695,3 +695,20 @@ def test_values_undef(kg):
           ?x s:next+ ?y . VALUES ?x { "a" UNDEF }
         }""").collect()}
     assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_negated_property_set_inverse_members(kg):
+    # !(^s:next): reversed edges over any pred except next — from "b"
+    # that's mirror/label/... sources pointing AT b with pred != next
+    got = {r["v"] for r in sparql(kg, P + """
+        SELECT ?v WHERE { "b" !(^s:next) ?v }""").collect()}
+    assert "a" not in got  # a next b is excluded (pred IS next)
+    # mixed form: forward step not in {type} UNION reversed step not
+    # in {next} — from "b": forward label/next edges + reverse none
+    got = {r["v"] for r in sparql(kg, P + """
+        SELECT ?v WHERE { "b" !(s:type|^s:next) ?v }""").collect()}
+    assert got == {"Pear", "c"}
+    # pure-inverse set from m1: who points at m1 with pred != type?
+    got = {r["v"] for r in sparql(kg, P + """
+        SELECT ?v WHERE { "m1" !(^s:type) ?v }""").collect()}
+    assert got == {"a"}
