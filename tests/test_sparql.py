@@ -712,3 +712,23 @@ def test_negated_property_set_inverse_members(kg):
     got = {r["v"] for r in sparql(kg, P + """
         SELECT ?v WHERE { "m1" !(^s:type) ?v }""").collect()}
     assert got == {"a"}
+
+
+def test_graph_inside_optional_and_minus(spark):
+    kg = spark.createDataFrame(
+        [("a", S + "name", "Anna", "output"),
+         ("b", S + "name", "Bert", "output"),
+         ("a", S + "warn", "w1", "processor")],
+        "subj string, pred string, obj string, graph string")
+    rows = sparql(kg, P + """
+        SELECT ?s ?w WHERE {
+          ?s s:name ?n .
+          OPTIONAL { GRAPH <processor> { ?s s:warn ?w } }
+        }""").collect()
+    assert {(r["s"], r["w"]) for r in rows} == {("a", "w1"), ("b", None)}
+    got = {r["s"] for r in sparql(kg, P + """
+        SELECT ?s WHERE {
+          ?s s:name ?n .
+          MINUS { GRAPH <processor> { ?s s:warn ?w } }
+        }""").collect()}
+    assert got == {"b"}
