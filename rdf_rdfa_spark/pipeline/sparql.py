@@ -1242,9 +1242,12 @@ def _kinded_df(triples: DataFrame, kinded, sol: DataFrame | None) -> DataFrame:
     return out.distinct()
 
 
-def sparql_update(triples: DataFrame, update: str) -> DataFrame:
+def sparql_update(triples: DataFrame, update: str,
+                  buckets: int | None = None) -> DataFrame:
     """Execute one SPARQL UPDATE operation; returns the updated
-    triples DataFrame (functional — commit via materialize)."""
+    triples DataFrame (functional — commit via materialize).
+    ``buckets`` prunes constant-subject WHERE patterns exactly as in
+    :func:`sparql` (the deletion anti-join still scans the store)."""
     p = _Parser(update)
     p.parse_prologue()
     ins_kinded = del_kinded = group = None
@@ -1291,7 +1294,8 @@ def sparql_update(triples: DataFrame, update: str) -> DataFrame:
                      for c in ("lang", "datatype", "obj_kind"))
     sol = None
     if group is not None:
-        kwargs = _group_kwargs(triples, group, store_meta)
+        kwargs = _group_kwargs(triples, group, store_meta,
+                               buckets=buckets)
         sol = bgp_select(triples, group["patterns"], **kwargs)
         if ins_kinded and del_kinded:
             # both templates instantiate from the SAME solution set —
