@@ -25,8 +25,9 @@ plans — this module only builds ASTs):
   - BIND(expr AS ?v), VALUES ?v { ... } / VALUES (?a ?b) { (..) .. }
     with UNDEF cells (per-row defined-column mask join semantics)
   - GROUP BY + COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT aggregates
-    (DISTINCT inside the call; GROUP_CONCAT(?v; SEPARATOR="...")) in
-    the SELECT clause, HAVING over aggregate expressions
+    (DISTINCT inside the call; GROUP_CONCAT(?v; SEPARATOR="...");
+    expression arguments like SUM(STRLEN(?l))) in the SELECT clause,
+    HAVING over aggregate expressions
   - subqueries: { SELECT ... } groups, compiled bottom-up and joined
     with the enclosing group on shared variables
   - ORDER BY ?v / ASC|DESC(expression), LIMIT n, OFFSET n (either
@@ -790,11 +791,14 @@ class _Parser:
                     if self.at_op("*"):
                         self.next()
                         arg = "*"
+                    elif (self.peek()[0] == "var"
+                          and self.peek(1) in (("op", ")"),
+                                               ("op", ";"))):
+                        arg = self.next()[1]
                     else:
-                        kind, arg = self.next()
-                        if kind != "var":
-                            raise SparqlSyntaxError(
-                                "aggregate needs ?var or *")
+                        # full expression argument: SUM(?x * 2) etc.
+                        arg = ("expr", self.parse_expr_sql(
+                            stop_at_as=True))
                     sep = " "
                     if self.at_op(";"):  # GROUP_CONCAT(?v; SEPARATOR="-")
                         self.next()
@@ -874,30 +878,30 @@ _AGG_FNS = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min,
 _AGG_WORDS = tuple(_AGG_FNS)
 
 
-def _agg_col(fn: str, arg: str, distinct: bool = False,
+def _agg_col(fn: str, arg, distinct: bool = False,
              sep: str | None = None):
-    """A parsed SPARQL aggregate → Spark Column.  Aggregates run over
-    the engine's DISTINCT solution set; DISTINCT inside the call
-    additionally dedups the argument's bindings."""
+    """A parsed SPARQL aggregate → Spark Column.  ``arg`` is "*", a
+    bare variable name, or ("expr", sql) for an expression argument.
+    Aggregates run over the engine's DISTINCT solution set; DISTINCT
+    inside the call additionally dedups the argument's bindings."""
     if arg == "*":
         if fn != "COUNT":
             raise SparqlSyntaxError("%s(*) is not valid SPARQL" % fn)
         return F.count("*")
-    if fn == "COUNT":
-        return F.countDistinct(arg) if distinct else F.count(arg)
+    arg_sql = (arg[1] if isinstance(arg, tuple) else "`%s`" % arg)
+    d = "DISTINCT " if distinct else ""
     if fn == "SAMPLE":
         # the spec allows ANY binding; the minimum makes the choice
         # deterministic (reproducible runs, value-oracle friendly)
-        return F.min(arg)
+        return F.expr("min(%s)" % arg_sql)
     if fn == "GROUP_CONCAT":
-        vals = F.collect_set(arg) if distinct else F.collect_list(arg)
+        coll = "collect_set" if distinct else "collect_list"
         # sorted join: SPARQL leaves the order implementation-defined,
         # a canonical order keeps results partitioning-independent
-        return F.array_join(F.sort_array(vals), sep if sep is not None
-                            else " ")
-    if distinct:
-        return F.expr("%s(DISTINCT `%s`)" % (fn.lower(), arg))
-    return _AGG_FNS[fn](arg)
+        return F.expr("array_join(sort_array(%s(%s)), %s)"
+                      % (coll, arg_sql,
+                         _sql_str(sep if sep is not None else " ")))
+    return F.expr("%s(%s%s)" % (fn.lower(), d, arg_sql))
 
 # backticked identifiers as parse_expr_sql emits them — the compiled
 # SQL is scanned (rather than the parser threading state) to validate

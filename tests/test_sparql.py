@@ -732,3 +732,17 @@ def test_graph_inside_optional_and_minus(spark):
           MINUS { GRAPH <processor> { ?s s:warn ?w } }
         }""").collect()}
     assert got == {"b"}
+
+
+def test_aggregates_over_expressions(kg):
+    rows = sparql(kg, P + """
+        SELECT ?t (SUM(STRLEN(?l)) AS ?chars)
+               (MAX(STRLEN(?l)) AS ?longest)
+        WHERE { ?d s:type ?t ; s:label ?l } GROUP BY ?t""").collect()
+    assert [(r["t"], r["chars"], r["longest"]) for r in rows] == [
+        ("Doc", 5 + 4 + 3, 5)]
+    # COUNT over a conditional expression
+    rows = sparql(kg, P + """
+        SELECT (SUM(IF(STRLEN(?l) > 3, 1, 0)) AS ?n)
+        WHERE { ?d s:label ?l }""").collect()
+    assert rows[0]["n"] == 3  # Apple, Pear, Mirror
