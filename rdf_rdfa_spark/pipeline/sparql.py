@@ -564,14 +564,16 @@ class _Parser:
                # SPARQL REPLACE is regex-based (flags unsupported)
                "REPLACE": "regexp_replace"}
 
-    def parse_expr_sql(self, stop_at_as: bool = False) -> str:
+    def parse_expr_sql(self, stop_at_as: bool = False,
+                       stop_at_semi: bool = False) -> str:
         """Translate a parenthesized-or-simple SPARQL expression to a
         Spark SQL string, token by token.  Balanced-paren scan; stops
-        at the enclosing ')' (or the AS keyword inside BIND)."""
+        at the enclosing ')' (or the AS keyword inside BIND, or a
+        depth-0 ';' inside an aggregate argument list)."""
         parts = []
         depth = 0
         outer = False
-        if not stop_at_as and self.at_op("("):
+        if not stop_at_as and not stop_at_semi and self.at_op("("):
             self.next()
             outer = True
         while True:
@@ -580,6 +582,9 @@ class _Parser:
                 raise SparqlSyntaxError("unterminated expression")
             if stop_at_as and depth == 0 and kind == "word" \
                     and val.upper() == "AS":
+                break
+            if stop_at_semi and depth == 0 and kind == "op" \
+                    and val == ";":
                 break
             if kind == "op" and val == "(":
                 depth += 1
@@ -798,7 +803,7 @@ class _Parser:
                     else:
                         # full expression argument: SUM(?x * 2) etc.
                         arg = ("expr", self.parse_expr_sql(
-                            stop_at_as=True))
+                            stop_at_semi=True))
                     sep = " "
                     if self.at_op(";"):  # GROUP_CONCAT(?v; SEPARATOR="-")
                         self.next()

@@ -746,3 +746,10 @@ def test_aggregates_over_expressions(kg):
         SELECT (SUM(IF(STRLEN(?l) > 3, 1, 0)) AS ?n)
         WHERE { ?d s:label ?l }""").collect()
     assert rows[0]["n"] == 3  # Apple, Pear, Mirror
+
+
+def test_group_concat_expression_with_separator(kg):
+    rows = sparql(kg, P + """
+        SELECT (GROUP_CONCAT(UCASE(?l); SEPARATOR="+") AS ?ls)
+        WHERE { ?d s:type "Doc" ; s:label ?l }""").collect()
+    assert rows[0]["ls"] == "APPLE+FIG+PEAR"
