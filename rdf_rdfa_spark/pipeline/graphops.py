@@ -87,40 +87,70 @@ def pagerank(triples: DataFrame, iters: int = 10) -> DataFrame:
 
 def _pagerank_rounds(e: DataFrame, nodes: DataFrame, n_nodes: int,
                      iters: int) -> DataFrame:
-    # referenced three times per iteration (contribs join, dangling
-    # anti-join, and via ranks' lineage) — materialize once
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
-    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("pr"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Edges carry their source's outdegree and are cached PRE-PARTITIONED
+    # by src: every round's contribs join reuses that partitioning, so
+    # the edge payload is shuffled ZERO times per round (it used to ride
+    # a fresh exchange in all `iters` rounds) — guide §2.4 "remove
+    # shuffles outright" / §3.3 co-partitioning.  persist() (not
+    # localCheckpoint) keeps the partitioning visible to the planner.
+    n_parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e_out = e.join(outdeg, "src").repartition(n_parts, "src").persist()
+    # ranks carries a precomputed `dangling` flag, so the per-round
+    # dangling-mass term is a scan of ranks (agg over the flag), not the
+    # ranks⋈outdeg anti-join it used to be — one join family removed per
+    # round.
+    ranks = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .select("node", F.col("outdeg").isNull().alias("dangling"),
+                F.lit(SCALE).cast("long").alias("pr"))
+        .localCheckpoint(eager=False)
+    )
     for _ in range(iters):
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            e_out.join(ranks, e_out["src"] == ranks["node"])
             .select(F.col("dst").alias("node"),
-                    F.expr("pr DIV outdeg").alias("contrib"))
+                    F.expr("pr DIV outdeg").alias("contrib"),
+                    F.lit(None).cast("boolean").alias("dangling"))
         )
-        summed = contribs.groupBy("node").agg(
-            F.sum("contrib").alias("s"))
         # dangling mass: one scalar row, broadcast — no driver action
         dang = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            ranks.filter(F.col("dangling"))
             .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dang"))
         )
+        # union + single groupBy replaces the old groupBy + nodes-join:
+        # each node's zero base row rides the same aggregation as the
+        # contributions (sum ≡ coalesce(join-sum, 0)), and max(dangling)
+        # re-attaches the flag (exactly one non-null per node) — two
+        # narrow exchanges per round total (ranks into the join, the
+        # union into the agg) instead of the previous seven.
         ranks = (
-            nodes.join(summed, "node", "left")
+            contribs.unionByName(
+                ranks.select("node", F.lit(0).cast("long").alias("contrib"),
+                             "dangling"))
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("s"),
+                 F.max("dangling").alias("dangling"))
             .crossJoin(F.broadcast(dang))
             .select(
-                "node",
+                "node", "dangling",
                 (F.lit(BASE)
-                 + F.expr("%d * (coalesce(s, 0) + dang DIV %d) DIV %d"
+                 + F.expr("%d * (s + dang DIV %d) DIV %d"
                           % (DAMP_NUM, n_nodes, DAMP_DEN))).cast("long")
                 .alias("pr"),
             )
             # LAZY barrier: truncates the Catalyst plan per round (the
             # next round scans a LogicalRDD, not a 10-round expression
             # tree) but defers execution — all rounds run as chained
-            # stages of the ONE consuming action, instead of an eager
-            # job per round (per-job overhead was ~25% of the bench on
-            # a toy graph; at scale the stages dominate either way)
+            # stages of ONE action (per-job overhead was ~25% of the
+            # bench on a toy graph; at scale the stages dominate either
+            # way)
             .localCheckpoint(eager=False)
         )
-    return ranks
+    # EAGER final barrier: materializes the whole 10-round chain as the
+    # one action (same total work, same single-action shape), so the
+    # partitioned edge cache can be released deterministically instead
+    # of leaking into the session.
+    out = ranks.select("node", "pr").localCheckpoint()
+    e_out.unpersist()
+    return out
