@@ -97,6 +97,20 @@ def test_connected_components(spark):
     assert cc["f"] == "f"
 
 
+def test_connected_components_long_chain(spark):
+    """Pointer-jumping convergence: a 120-node path graph (diameter
+    119) must fully converge well inside max_iter=20 — pure
+    neighbor-min would need 119 rounds — and still label every node
+    with the lexicographic-min member ('n000')."""
+    edges = spark.createDataFrame(
+        [("n%03d" % i, "n%03d" % (i + 1)) for i in range(119)],
+        "src string, dst string",
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert len(cc) == 120
+    assert set(cc.values()) == {"n000"}
+
+
 def test_link_entities_broadcast_and_shuffle_paths(spark):
     """link_entities must rewrite identically whether the cluster map
     is broadcast (default) or falls back to a shuffle join above the
