@@ -265,39 +265,87 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.99,
     )
 
 
-def cosine_near_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.99,
-                              id_col: str = "vec_id",
-                              vec_col: str = "embedding", dim: int = 64,
-                              n_tables: int = 4, bits: int = 8) -> DataFrame:
-    """Multi-table hyperplane-LSH near-dup pairs: candidates must share
-    a full bucket in at least one of ``n_tables`` sign-bit tables, then
-    exact cosine verification. At threshold t the per-pair recall is
-    1-(1-(1-acos(t)/pi)^bits)^n_tables (≈0.97 at t=0.99 with 4x8;
-    exact duplicates always collide — identical sign patterns).
-    One shuffle per plan: explode table ids → per-bucket self-join."""
-    v = vectors.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+def emb_lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
+                            bits: int, max_bucket: int) -> DataFrame:
+    """(id, v) → distinct candidate pairs (a, b), a < b, sharing a full
+    sign-bit bucket in ≥1 table.  Only (id, tbl, bucket) is banded —
+    vectors never cross an exchange here — and the window-count skew
+    guard drops template-hot buckets BEFORE any pair expansion, sharing
+    its exchange with the collect (plan shape pinned by test)."""
     tables = [
         lsh_bucket_col(F.col("v"), hyperplanes(dim, bits, seed=7 + 13 * t))
         for t in range(n_tables)
     ]
-    banded = v.select("id", "v", F.posexplode(F.array(*tables))
+    banded = v.select("id", F.posexplode(F.array(*tables))
                       .alias("tbl", "bucket"))
-    a = banded.select(F.col("id").alias("a"), F.col("v").alias("va"),
-                      "tbl", "bucket")
-    b = banded.select(F.col("id").alias("b"), F.col("v").alias("vb"),
-                      "tbl", "bucket")
-    cand = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
-        .dropDuplicates(["a", "b"])
+    w = Window.partitionBy("tbl", "bucket")
+    buckets = (
+        banded.withColumn("n_b", F.count("*").over(w))
+        .filter((F.col("n_b") > 1) & (F.col("n_b") <= max_bucket))
+        .groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
     )
+    return (
+        buckets.select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x as a, y as b))))"
+        )).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+
+
+def cosine_near_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.99,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding", dim: int = 64,
+                              n_tables: int = 4, bits: int = 12,
+                              max_bucket: int = 4096) -> DataFrame:
+    """Multi-table hyperplane-LSH near-dup pairs: candidates must share
+    a full bucket in at least one of ``n_tables`` sign-bit tables, then
+    exact cosine verification. At threshold t the per-pair recall is
+    1-(1-(1-acos(t)/pi)^bits)^n_tables (≈0.97 at t=0.99 with 4x12;
+    exact duplicates always collide — identical sign patterns).
+    ``bits`` is the bucket-resolution knob and should grow with corpus
+    size (collision rate for unrelated vectors ≈ n_tables/2^bits): 8
+    bits over the 131k-vector bench corpus made 1.6%% of ALL pairs
+    candidates (~10⁸ cosine verifications for a 10⁵ output); 12 bits
+    cuts that 16-fold while staying above the documented recall.
+
+    Scale shape (same posture as the other pair generators):
+
+    - only ``(id, tbl, bucket)`` is banded — the embedding vectors
+      never ride the banded exchange (they used to be exploded
+      ``n_tables``-fold and carried through the self-join AND the
+      pair-dedup exchange: corpus × n_tables vector bytes through two
+      shuffles);
+    - ``max_bucket`` is the skew guard: a WINDOW count over
+      ``(tbl, bucket)`` drops template-hot sign-pattern buckets BEFORE
+      any pair expansion, sharing one exchange with the collect_list
+      (the exact ``lsh_candidate_pairs``/``simhash_near_dups`` shape);
+    - pairs are expanded in-bucket from the sorted id list (a < b by
+      construction), deduped bare, and only the SURVIVING pairs fetch
+      their two vectors back via shuffle_hash joins (pinned: the
+      optimizer's parquet-stats estimates would otherwise broadcast
+      the whole vector corpus)."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cand = (
+        emb_lsh_candidate_pairs(v, dim, n_tables, bits, max_bucket)
+        # lazy barrier before the vector-fetch joins, same reason as
+        # minhash_near_dup_pairs: give AQE real size stats for the
+        # pair side instead of replanning the banded lineage
+        .localCheckpoint(eager=False)
+    )
+    va = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    joined = (cand.join(va.hint("shuffle_hash"), "a")
+              .join(vb.hint("shuffle_hash"), "b"))
     cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
     return (
-        cand.withColumn("cosine", cos)
+        joined.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -834,6 +834,36 @@ def test_simhash_bucket_cap_applied_before_collect(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_emb_lsh_bucket_cap_and_lean_banding(spark):
+    """cosine_near_dup_pairs_lsh production shape: (a) a hot
+    sign-pattern bucket (identical template embeddings) is dropped by
+    the window-count guard BEFORE any pair expansion; (b) the banded
+    exchange carries only (id, tbl, bucket) — embedding vectors never
+    ride it (they used to be exploded n_tables-fold through the
+    self-join and the pair-dedup exchange); (c) guard + collect share
+    one exchange, the pair distinct is the only other."""
+    from pyspark.sql import functions as F
+    from rdf_rdfa_spark.textops.similarity import (
+        cosine_near_dup_pairs_lsh, emb_lsh_candidate_pairs)
+
+    rows = [(i, [1.0] * 64) for i in range(40)]          # one hot bucket
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert cosine_near_dup_pairs_lsh(df, max_bucket=8).count() == 0
+    assert (cosine_near_dup_pairs_lsh(df, max_bucket=1 << 20).count()
+            == 40 * 39 // 2)
+    v = df.select(F.col("vec_id").alias("id"),
+                  F.transform(F.col("embedding"),
+                              lambda x: x.cast("double")).alias("v"))
+    plan = (emb_lsh_candidate_pairs(v, 64, 4, 12, 8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window [count(1)" in plan, plan
+    assert plan.index("Window [count(1)") > plan.index("collect_list"), plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # no vector column above the banded exchange: the first reference
+    # to the cast vector array appears only BELOW it (bucket math)
+    assert plan.index("v#") > plan.index("Exchange hashpartitioning(tbl"), plan
+
+
 def test_exact_duplicates_hot_fingerprint_bounded(spark):
     """The hottest fingerprint at crawl scale (the empty page) has
     millions of members: dup_ids must stay capped while n_dups carries
