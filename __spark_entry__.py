@@ -493,12 +493,14 @@ def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # uncapped blocking buckets → exhaustive within-bucket recall, so
-    # the output is replayable in SQL; bench.py measures the capped
-    # (max_bucket=1024) production configuration
+    # uncapped blocking buckets → exhaustive within-bucket recall, and
+    # gram_hash=False → jaccard over gram STRINGS, so the output is
+    # PROVABLY replayable in SQL (no 64-bit hash-collision caveat);
+    # bench.py measures the capped (max_bucket=1024) hashed-gram
+    # production configuration
     return dedup.ngram_jaccard_pairs(
         _dup_corpus(spark, sf_dir), n=3, threshold=0.8,
-        max_bucket=1 << 40).select(
+        max_bucket=1 << 40, gram_hash=False).select(
         "a", "b",
         F.floor(F.col("jaccard") * 10000).cast("long").alias("jaccard_bp"))
 
