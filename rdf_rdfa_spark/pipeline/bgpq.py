@@ -772,9 +772,17 @@ def bgp_describe(triples: DataFrame, targets, patterns=None,
             subs = part if subs is None else subs.unionByName(part)
     if subs is None:
         raise ValueError("DESCRIBE needs at least one target")
-    # described sets are small relative to the store: broadcast-semi
-    return triples.join(F.broadcast(subs.distinct()), "subj",
-                        "left_semi")
+    # constant target lists are tiny by construction — broadcast them.
+    # Var-derived target sets come from an ARBITRARY bgp_select
+    # (DESCRIBE ?d WHERE {?d rdf:type :Article} can be web-scale): a
+    # forced broadcast there overrides the optimizer's size estimate
+    # and OOMs the driver/executors, so use a plain left_semi and let
+    # AQE pick broadcast at runtime when the solution set is actually
+    # small.
+    subs = subs.distinct()
+    if not vars_:
+        subs = F.broadcast(subs)
+    return triples.join(subs, "subj", "left_semi")
 
 
 def bgp_ask(triples: DataFrame, patterns, **kwargs) -> bool:

@@ -208,6 +208,10 @@ def ivf_train(vectors: DataFrame, nlist: int = 16, iters: int = 2,
             .select("cid", F.transform("sm", lambda s: s["m"]).alias("center"))
         )
         centroids = centroids.localCheckpoint()
+    # the eager checkpoint above owns the final centroids; the cached
+    # vector projection would otherwise leak into the session (one
+    # cached corpus per ivf_train call on a long-lived cluster)
+    v.unpersist()
     return centroids
 
 

@@ -864,6 +864,20 @@ def test_emb_lsh_bucket_cap_and_lean_banding(spark):
     assert plan.index("v#") > plan.index("Exchange hashpartitioning(tbl"), plan
 
 
+def test_ivf_train_releases_vector_cache(spark):
+    """ivf_train caches the vector projection for its Lloyd rounds; a
+    long-lived session must not accumulate one cached corpus per call
+    — after training (centroids eagerly checkpointed) the SQL cache
+    must be empty again.  (pagerank's partitioned edge cache follows
+    the same persist/unpersist discipline.)"""
+    rows = [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    spark.catalog.clearCache()
+    cents = similarity.ivf_train(df, nlist=4)
+    assert cents.count() == 4
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_exact_duplicates_hot_fingerprint_bounded(spark):
     """The hottest fingerprint at crawl scale (the empty page) has
     millions of members: dup_ids must stay capped while n_dups carries

@@ -538,6 +538,23 @@ def test_describe(kg):
         sparql(kg, P + "DESCRIBE ?d")
 
 
+def test_describe_var_targets_not_force_broadcast(kg):
+    """An arbitrary var-derived described set must NOT be pinned to a
+    broadcast join (DESCRIBE ?d over a web-scale WHERE would push
+    millions of subjects through the driver): without size stats the
+    semi join plans as a shuffle join, with AQE free to downgrade to
+    broadcast at runtime when the set is actually small.  Constant
+    targets stay broadcast (tiny by construction)."""
+    plan = sparql(kg, P + """
+        DESCRIBE ?d WHERE { ?d s:mirror ?m }""")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    const_plan = sparql(kg, P + "DESCRIBE <a>")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in const_plan, const_plan
+
+
 def test_sparql_update_data_forms(spark):
     from rdf_rdfa_spark.pipeline.sparql import sparql_update
 
