@@ -93,6 +93,14 @@ SCRIPT_TYPES = {"text/turtle", "text/ntriples", "application/n-triples", "text/n
 # triples or alter any other element's evaluation context
 _LINK_ONLY_ATTRS = frozenset(("href", "src", "id"))
 
+# pre-built constant term tuples for the hottest add_triple sites
+# (iri() is trivial, but a tuple alloc per emitted rdf:type/list cell
+# adds up at hundreds of thousands of triples/s per core)
+_IRI_RDF_TYPE = ("iri", RDF_TYPE)
+_IRI_RDF_FIRST = ("iri", RDF_FIRST)
+_IRI_RDF_REST = ("iri", RDF_REST)
+_IRI_RDF_NIL = ("iri", RDF_NIL)
+
 
 def _coalesce(attrs, *names):
     """First PRESENT attribute value — Ruby's `attrs[:a] || attrs[:b]`
@@ -246,7 +254,8 @@ class RdfaWalker:
     def add_triple(self, subject, predicate, object_):
         if subject is None or predicate is None or object_ is None:
             return
-        if not is_resource(subject) or not is_iri(predicate):
+        # inlined is_resource/is_iri: this runs once per emitted triple
+        if subject[0] not in (IRI, BNODE) or predicate[0] != IRI:
             self.add_error(None, "invalid statement (%r %r %r)" % (subject, predicate, object_))
             return
         self.triples[(subject, predicate, object_)] = None
@@ -627,32 +636,37 @@ class RdfaWalker:
         default_vocabulary = ec.default_vocabulary
         list_mapping = ec.list_mapping
 
-        base = None
-        xml_base = element.base
-        if xml_base and host not in ("xhtml1", "html4", "html5"):
-            base = xml_base
-        if not base:
-            base = ec.base
-
         # single pass over the element's (few) attributes instead of
         # 17 dict lookups + a separate xmlns scan — memoized per SHARED
         # attrs dict (the fast tree builder aliases one dict across
         # identical start tags, so id() keys repeat heavily on template
         # pages; the source dict is pinned in the value against id
-        # recycling)
+        # recycling).  lang (xml:lang wins over lang, HTML5 3.2.3.3)
+        # and xml:base ride the same memo entry.
         hit = self._attrs_cache.get(id(element.attrs))
         if hit is None:
+            ea = element.attrs
             attrs = {}
             declares_mappings = False
-            for k, v in element.attrs.items():
+            for k, v in ea.items():
                 if k in _RDFA_ATTRS:
                     attrs[k] = v.strip()
                 elif k == "prefix" or k == "xmlns" or k.startswith("xmlns:"):
                     declares_mappings = True
-            self._attrs_cache[id(element.attrs)] = (
-                attrs, declares_mappings, element.attrs)
-        else:
-            attrs, declares_mappings = hit[0], hit[1]
+            lang_attr = ea.get("xml:lang")
+            if lang_attr is None:
+                lang_attr = ea.get("lang")
+            hit = (attrs, declares_mappings, lang_attr, ea.get("xml:base"),
+                   ea)
+            self._attrs_cache[id(ea)] = hit
+        attrs, declares_mappings, lang_attr, xml_base = (
+            hit[0], hit[1], hit[2], hit[3])
+
+        base = None
+        if xml_base and host not in ("xhtml1", "html4", "html5"):
+            base = xml_base
+        if not base:
+            base = ec.base
 
         # bare-link fast path: an element whose only RDFa-relevant
         # attributes are href/src/id emits no triples itself; its only
@@ -702,8 +716,8 @@ class RdfaWalker:
         # [Step 3] prefix mappings (reader.rb:643-715) — handled above
         # with copy-on-write of the mapping dicts
 
-        # [Step 4] language (reader.rb:812-815)
-        lang_attr = element.language
+        # [Step 4] language (reader.rb:812-815) — lang_attr from the
+        # attrs memo above
         if lang_attr is not None:
             language = lang_attr
         if not language:
@@ -834,7 +848,7 @@ class RdfaWalker:
                     element, attrs.get("typeof"), base, rel_restr,
                     uri_mappings, term_mappings, default_vocabulary,
                     ec.parent_subject):
-                self.add_triple(typed_resource, iri(RDF_TYPE), one_type)
+                self.add_triple(typed_resource, _IRI_RDF_TYPE, one_type)
 
         # [Step 8] new list mapping (reader.rb:1057-1068)
         if new_subject is not None and (new_subject != ec.parent_subject or list_mapping is None):
@@ -963,13 +977,13 @@ class RdfaWalker:
                 if ec_list is l:
                     continue
                 if not l.values:
-                    self.add_triple(new_subject, p, iri(RDF_NIL))
+                    self.add_triple(new_subject, p, _IRI_RDF_NIL)
                     continue
                 cells = [self._fresh_bnode() for _ in l.values]
                 for i, v in enumerate(l.values):
-                    self.add_triple(cells[i], iri(RDF_FIRST), v)
-                    nxt = cells[i + 1] if i + 1 < len(cells) else iri(RDF_NIL)
-                    self.add_triple(cells[i], iri(RDF_REST), nxt)
+                    self.add_triple(cells[i], _IRI_RDF_FIRST, v)
+                    nxt = cells[i + 1] if i + 1 < len(cells) else _IRI_RDF_NIL
+                    self.add_triple(cells[i], _IRI_RDF_REST, nxt)
                 self.add_triple(new_subject, p, cells[0])
 
         # @role (reader.rb:1366-1383)
