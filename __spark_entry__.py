@@ -54,6 +54,19 @@ def q_rdfa_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(pages).select(*_TRIPLE_COLS)
 
 
+def _kg_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extracted triples behind a LAZY materialization barrier, for the
+    BGP/SPARQL queries: the query compilers reference the store once
+    per triple pattern, and without the barrier every pattern scan
+    re-runs the whole page-parse pipeline (measured: kg_sparql_sub's
+    four patterns cost four extractions).  A parquet-backed store
+    (pipeline/materialize.py) would NOT want this — per-pattern scans
+    there get pushdown + bucket pruning — but over an inline
+    extraction pipeline, materializing once is strictly better.
+    Results are identical (a barrier, not a transform)."""
+    return q_rdfa_extract(spark, sf_dir).localCheckpoint(eager=False)
+
+
 def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_rdfa_spark.pipeline import graphops
 
@@ -171,7 +184,7 @@ def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the OPTIONAL group to a left join (NULL m where no script)."""
     from rdf_rdfa_spark.pipeline.bgpq import bgp_select, var
 
-    triples = q_rdfa_extract(spark, sf_dir)
+    triples = _kg_store(spark, sf_dir)
     return bgp_select(
         triples,
         [(var("d"), RDF_TYPE, "http://schema.org/Article"),
@@ -189,7 +202,7 @@ def q_kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort)."""
     from rdf_rdfa_spark.pipeline.bgpq import bgp_select, var
 
-    triples = q_rdfa_extract(spark, sf_dir)
+    triples = _kg_store(spark, sf_dir)
     return bgp_select(
         triples,
         [(var("d"), RDF_TYPE, "http://schema.org/Article"),
@@ -252,7 +265,7 @@ def q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     value oracle (shared SQL with kg_bgp_minus)."""
     from rdf_rdfa_spark.pipeline.sparql import sparql
 
-    triples = q_rdfa_extract(spark, sf_dir)
+    triples = _kg_store(spark, sf_dir)
     return sparql(triples, """
         PREFIX schema: <http://schema.org/>
         PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
@@ -304,7 +317,7 @@ def q_kg_sparql_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     and joins the outer patterns on ?g."""
     from rdf_rdfa_spark.pipeline.sparql import sparql
 
-    triples = q_rdfa_extract(spark, sf_dir)
+    triples = _kg_store(spark, sf_dir)
     return sparql(triples, """
         PREFIX schema: <http://schema.org/>
         PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
@@ -321,7 +334,7 @@ def q_kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     subject-scoped triple set (broadcast-semi against the store)."""
     from rdf_rdfa_spark.pipeline.sparql import sparql
 
-    triples = q_rdfa_extract(spark, sf_dir)
+    triples = _kg_store(spark, sf_dir)
     return sparql(triples, """
         PREFIX schema: <http://schema.org/>
         DESCRIBE ?d WHERE { ?d schema:genre "src0" }
@@ -337,7 +350,7 @@ def q_kg_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples."""
     from rdf_rdfa_spark.pipeline.sparql import sparql_update
 
-    triples = q_rdfa_extract(spark, sf_dir)
+    triples = _kg_store(spark, sf_dir)
     updated = sparql_update(triples, """
         PREFIX schema: <http://schema.org/>
         DELETE { ?d schema:genre ?g }
@@ -351,7 +364,7 @@ def q_kg_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT over the distinct solution set; map-side partial agg)."""
     from rdf_rdfa_spark.pipeline.bgpq import bgp_aggregate, var
 
-    triples = q_rdfa_extract(spark, sf_dir)
+    triples = _kg_store(spark, sf_dir)
     return bgp_aggregate(
         triples,
         [(var("d"), RDF_TYPE, "http://schema.org/Article"),
