@@ -34,7 +34,11 @@ def entity_edges(triples: DataFrame) -> DataFrame:
 
 def degrees(triples: DataFrame) -> DataFrame:
     """Per-node in/out degree over the distinct entity edge set."""
-    e = entity_edges(triples)
+    # lazy barrier: the out- and in-degree aggregations each reference
+    # the edge set — without it the upstream pipeline (distinct +
+    # whatever produced the triples, possibly a full page-parse) runs
+    # twice inside the one consuming action
+    e = entity_edges(triples).localCheckpoint(eager=False)
     out = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("out_degree"))
     inn = e.groupBy(F.col("dst").alias("node")).agg(

@@ -146,17 +146,35 @@ def _pairwise_best(vectors: DataFrame, centroids: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "v",
                    n_best: int = 1) -> DataFrame:
     """Assign each vector to its nearest centroid(s) by cosine
-    (broadcast the centroid table; min_by/Window keeps it one pass)."""
+    (broadcast the centroid table)."""
     scored = (
         vectors.crossJoin(F.broadcast(centroids))
         .withColumn("_sim", _dot(vec_col, "center")
                     / (_norm(vec_col) * _norm("center")))
+        # the centroid array must not ride any exchange below — only
+        # (id, v, cid, _sim) continue
+        .drop("center")
     )
+    if n_best == 1:
+        # single-best assignment as a map-side-combinable max_by (the
+        # dominant path: every Lloyd round + the index assignment):
+        # no sort, no full-row window shuffle — partial aggregation
+        # collapses each id to one row per map task first.  Ordering
+        # matches the window path exactly: max (_sim, -cid) ≡ order by
+        # _sim desc, cid asc (ties impossible — -cid is distinct).
+        return (
+            scored.groupBy(id_col)
+            .agg(F.any_value(vec_col).alias(vec_col),
+                 F.max_by(
+                     "cid",
+                     F.struct(F.col("_sim"), (-F.col("cid")).alias("_t"))
+                 ).alias("cid"))
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= n_best)
-        .drop("_sim", "_r", "center")
+        .drop("_sim", "_r")
     )
 
 
