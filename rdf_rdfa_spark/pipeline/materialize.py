@@ -43,6 +43,17 @@ def write_triples(triples: DataFrame, root: str, buckets: int = 64,
     # row groups by predicate, so a pred-filtered scan (every BGP
     # pattern) skips row groups via min/max stats — the poor man's
     # z-order for the two columns every query filters on
+    # appending with a different modulus than the store was written
+    # with would leave old rows in old-modulus partition dirs while
+    # bucket-pruned queries hash with the new one — silently missing
+    # rows.  Refuse up front.
+    if mode == "append":
+        existing = store_buckets(root)
+        if existing is not None and existing != buckets:
+            raise ValueError(
+                "store at %s was written with buckets=%d; appending "
+                "with buckets=%d would corrupt bucket pruning — pass "
+                "the original modulus" % (root, existing, buckets))
     (_bucketed(triples, buckets)
      .sortWithinPartitions("bucket", "pred", "subj")
      .write.mode(mode).partitionBy("graph", "bucket")

@@ -453,9 +453,14 @@ class _Parser:
                 if sub["filters"]:
                     # graph-group patterns hoist into the outer group
                     # (conjunctive), so a filter over THEIR variables
-                    # hoists equivalently
+                    # hoists equivalently; the GRAPH ?var itself is in
+                    # scope too (it's attached to the patterns below,
+                    # after this validation runs)
+                    gvars = ([gterm[1]]
+                             if isinstance(gterm, tuple) else ())
                     _validate_filter_scope(sub["filters"],
-                                           sub["patterns"], "GRAPH")
+                                           sub["patterns"], "GRAPH",
+                                           extra_vars=gvars)
                     g["filters"].extend(sub["filters"])
                 for pat in sub["patterns"]:
                     if len(pat) == 4:
@@ -913,7 +918,15 @@ def _agg_col(fn: str, arg, distinct: bool = False,
 # variable scope before Spark would raise an opaque unresolved-column
 # AnalysisException
 _IDENT_RE = re.compile(r"`([^`]+)`")
+# single-quoted SQL string literals as _sql_str emits them (backslash
+# escapes active) — stripped before the identifier scan so a backtick
+# INSIDE a string constant is never misread as a variable reference
+_SQL_STR_RE = re.compile(r"'(?:[^'\\]|\\.)*'")
 _META_SFX = ("__lang", "__dt", "__kind")
+
+
+def _idents(sql: str):
+    return _IDENT_RE.findall(_SQL_STR_RE.sub("''", sql))
 
 
 def _pattern_var_info(patterns):
@@ -943,7 +956,7 @@ def _validate_filter_scope(filters, patterns, where, extra_vars=(),
     all_vars, meta_vars = _pattern_var_info(patterns)
     all_vars |= set(extra_vars)
     for sql in filters:
-        for ident in _IDENT_RE.findall(sql):
+        for ident in _idents(sql):
             base = None
             for sfx in _META_SFX:
                 if ident.endswith(sfx):
@@ -1030,9 +1043,20 @@ def _compile_select(triples: DataFrame, q, store_meta: bool,
     with its own solution modifiers applied."""
     g = q["group"]
     if g["union"] is not None:
-        if g["patterns"] or g["subqueries"]:
+        # raise rather than silently drop (same convention as
+        # _sub_group): group-level clauses alongside a UNION are not
+        # compiled into the union branches
+        dropped = [name for name, val in (
+            ("patterns", g["patterns"]), ("subqueries", g["subqueries"]),
+            ("FILTER", g["filters"]), ("OPTIONAL", g["optional"]),
+            ("MINUS", g["minus"]), ("FILTER NOT EXISTS", g["not_exists"]),
+            ("FILTER EXISTS", g["exists"]), ("BIND", g["bind"]),
+            ("VALUES", g["values"]),
+        ) if val]
+        if dropped:
             raise SparqlSyntaxError(
-                "UNION is supported as the entire SELECT body")
+                "UNION is supported as the entire SELECT body (group "
+                "also carries: %s)" % ", ".join(dropped))
         return _apply_modifiers(
             bgp_union(triples, g["union"], select=q.get("vars")), q)
     kwargs = _group_kwargs(triples, g, store_meta, buckets=buckets)
@@ -1044,9 +1068,20 @@ def _compile_select(triples: DataFrame, q, store_meta: bool,
             aggs[out_name] = _agg_col(*spec)
         if not aggs and not q.get("having"):
             # GROUP BY with no aggregates ≡ DISTINCT projection of the
-            # grouped variables (the engine is set-semantics already)
+            # grouped variables (the engine is set-semantics already).
+            # The SELECT projection still applies: it must be a subset
+            # of the GROUP BY variables, and a strict subset needs its
+            # own distinct.
+            sel = q.get("vars") or q["group_by"]
+            bad = [v for v in sel if v not in q["group_by"]]
+            if bad:
+                raise SparqlSyntaxError(
+                    "SELECT ?%s is neither a GROUP BY variable nor an "
+                    "aggregate" % bad[0])
             out = bgp_select(triples, g["patterns"],
                              select=q["group_by"], **kwargs)
+            if list(sel) != list(q["group_by"]):
+                out = out.select(*sel).distinct()
             return _apply_modifiers(out, q)
         hexpr, hidden = None, []
         if q.get("having"):
@@ -1062,7 +1097,7 @@ def _compile_select(triples: DataFrame, q, store_meta: bool,
                 else:
                     aggs[ph] = _agg_col(fn, arg)
                     hidden.append(ph)
-            for ident in _IDENT_RE.findall(hexpr):
+            for ident in _idents(hexpr):
                 if (not ident.startswith("__h")
                         and ident not in q["group_by"]
                         and ident not in q["aggs"]):

@@ -252,6 +252,11 @@ def _local_path(path: str) -> str:
         path = path[5:]
         while path.startswith("//"):
             path = path[1:]
+        # Spark percent-encodes special characters in file URIs
+        # (spaces as %20 etc.) — decode so open() sees the real name
+        from urllib.parse import unquote
+
+        path = unquote(path)
     return path
 
 

@@ -229,6 +229,25 @@ def test_lsh_ann_reasonable_recall(spark, sf_dir):
         assert qid in mine
 
 
+def test_write_triples_append_refuses_modulus_change(spark, tmp_path):
+    """Appending with a different bucket modulus would leave old rows
+    in old-modulus partition dirs while pruned queries hash with the
+    new one — write_triples must refuse instead of rewriting the
+    meta."""
+    t = spark.createDataFrame(
+        [("u", "s", "p", "o", "iri", None, None, None)],
+        "url string, subj string, pred string, obj string, "
+        "obj_kind string, lang string, datatype string, graph string")
+    root = str(tmp_path / "store")
+    materialize.write_triples(t, root, buckets=16)
+    with pytest.raises(ValueError, match="buckets=16"):
+        materialize.write_triples(t, root, buckets=32, mode="append")
+    # same modulus appends fine; overwrite may change it
+    materialize.write_triples(t, root, buckets=16, mode="append")
+    materialize.write_triples(t, root, buckets=8, mode="overwrite")
+    assert materialize.store_buckets(root) == 8
+
+
 def test_materialize_resumable(spark, sf_dir, tmp_path):
     pages = corpus.pages_df(spark, sf_dir).limit(60).cache()
     root = str(tmp_path / "store")

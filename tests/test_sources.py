@@ -72,6 +72,16 @@ def test_read_warc_pages_end_to_end(spark, tmp_path):
     assert ("http://w.example/2", "http://w.example/2#b") in got
 
 
+def test_warc_percent_encoded_path(spark, tmp_path):
+    """Spark returns file URIs with special characters percent-encoded
+    (spaces as %20); the streaming reader must decode before open()."""
+    sub = tmp_path / "crawl dir"
+    sub.mkdir()
+    (sub / "a b.warc").write_bytes(_sample_warc())
+    pages = read_warc_pages(spark, str(sub) + "/*.warc")
+    assert pages.count() == 2
+
+
 def test_read_jsonl_pages(spark, tmp_path):
     p = tmp_path / "dump.jsonl"
     p.write_text(

@@ -538,6 +538,53 @@ def test_describe(kg):
         sparql(kg, P + "DESCRIBE ?d")
 
 
+def test_union_with_group_level_clauses_raises(kg):
+    """Group-level FILTER/BIND/... alongside a UNION used to be
+    silently dropped (returning unfiltered rows); the repo convention
+    is raise-rather-than-silently-drop."""
+    with pytest.raises(SparqlSyntaxError, match="UNION.*FILTER"):
+        sparql(kg, P + """
+            SELECT ?x WHERE {
+              { ?x s:label ?v } UNION { ?x s:next ?v }
+              FILTER (?v = "1")
+            }""")
+    with pytest.raises(SparqlSyntaxError, match="UNION.*OPTIONAL"):
+        sparql(kg, P + """
+            SELECT ?x WHERE {
+              { ?x s:label ?v } UNION { ?x s:next ?v }
+              OPTIONAL { ?x s:mirror ?m }
+            }""")
+
+
+def test_group_by_without_aggregates_projects_select(kg):
+    df = sparql(kg, P + "SELECT ?d WHERE { ?d ?p ?v } GROUP BY ?d ?p")
+    assert df.columns == ["d"]
+    got = {r["d"] for r in df.collect()}
+    assert "a" in got
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY"):
+        sparql(kg, P + "SELECT ?v WHERE { ?d ?p ?v } GROUP BY ?d ?p")
+
+
+def test_filter_string_constant_with_backtick(spark):
+    S_ = "http://s.example/"
+    t = spark.createDataFrame(
+        [("a", S_ + "label", "plain", "literal", None, None, "output"),
+         ("b", S_ + "label", "a`x`b", "literal", None, None, "output"),
+         ("c", S_ + "label", "Cat", "literal", None, None, "g2")],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, datatype string, graph string")
+    pre = "PREFIX s: <%s>\n" % S_
+    rows = sparql(t, pre + """
+        SELECT ?x WHERE { ?x s:label ?v
+                          FILTER (CONTAINS(?v, "a`x`b")) }""").collect()
+    assert [r["x"] for r in rows] == ["b"]
+    # GRAPH ?g's variable is in scope for the group's own filters
+    rows = sparql(t, pre + """
+        SELECT ?s WHERE {
+          GRAPH ?g { ?s s:label ?v FILTER (?g = "g2") } }""").collect()
+    assert [r["s"] for r in rows] == ["c"]
+
+
 def test_describe_var_targets_not_force_broadcast(kg):
     """An arbitrary var-derived described set must NOT be pinned to a
     broadcast join (DESCRIBE ?d over a web-scale WHERE would push
