@@ -187,17 +187,28 @@ def _pairwise_best(vectors: DataFrame, centroids: DataFrame,
 _IVF_FP_SCALE = 1 << 20
 
 
+def _vec_proj(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+
 def ivf_train(vectors: DataFrame, nlist: int = 16, iters: int = 2,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              _v: DataFrame | None = None) -> DataFrame:
     """Train IVF coarse centroids with a couple of Lloyd rounds,
     entirely in DataFrame ops (posexplode → per-dimension fixed-point
     mean).  Deterministic init: id-strided sampling + TakeOrdered —
     no un-partitioned Window anywhere in the plan (a global
-    row_number would funnel the corpus through one task)."""
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).cache()
+    row_number would funnel the corpus through one task).
+
+    ``_v`` (private): a caller-owned, already-materializable projection
+    ``(vec_id, v)`` — ivf_ann_topk passes its shared barrier so the
+    index-assignment pass reuses the SAME materialized vectors instead
+    of re-projecting the corpus; its lifetime is then the caller's
+    problem, so no unpersist here."""
+    v = _v if _v is not None else _vec_proj(vectors, id_col, vec_col).cache()
     n = v.count()
     stride = max(n // nlist, 1)
     seeds = (
@@ -229,7 +240,8 @@ def ivf_train(vectors: DataFrame, nlist: int = 16, iters: int = 2,
     # the eager checkpoint above owns the final centroids; the cached
     # vector projection would otherwise leak into the session (one
     # cached corpus per ivf_train call on a long-lived cluster)
-    v.unpersist()
+    if _v is None:
+        v.unpersist()
     return centroids
 
 
@@ -241,11 +253,17 @@ def ivf_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     (at scale this is the materialized index's partition key); each
     query probes its nprobe nearest lists only — scan cost =
     nprobe/nlist of the corpus per query."""
-    centroids = ivf_train(vectors, nlist=nlist, id_col=id_col, vec_col=vec_col)
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    # ONE shared barrier for the projected corpus: training's first
+    # count() materializes it, every Lloyd round AND the index
+    # assignment below read the same materialized vectors (the old
+    # shape re-projected the corpus for assignment after ivf_train
+    # dropped its cache — measured +39% on the sf1 smoke).  Lazy
+    # localCheckpoint, not cache(): no SQL-cache entry to leak;
+    # ContextCleaner reclaims it when the plan is GC'd, same as every
+    # other lazy barrier in the repo.
+    v = _vec_proj(vectors, id_col, vec_col).localCheckpoint(eager=False)
+    centroids = ivf_train(vectors, nlist=nlist, id_col=id_col,
+                          vec_col=vec_col, _v=v)
     assigned = _pairwise_best(v, centroids)  # (vec_id, v, cid)
     q = queries.select(
         F.col(qid_col).alias("qid"),
