@@ -642,6 +642,14 @@ _RAWTEXT_CLOSE = {
 }
 _unescape = _html_mod.unescape
 
+# worker-lifetime token caches shared across _fast_feed calls (see the
+# comment inside); cleared wholesale when a hostile/diverse corpus
+# exceeds the cap — ~64k distinct raw tokens bounds memory to tens of
+# MB while a real template crawl stays far below it
+_TOKEN_CACHE_MAX = 1 << 16
+_TAG_CACHE: dict = {}
+_END_CACHE: dict = {}
+
 
 def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
     # The _TreeBuilder handler methods are inlined here (same handler
@@ -659,15 +667,27 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
     attr_finditer = _FAST_ATTR.finditer
     closes_get = _CLOSES.get
     rawtext_get = _RAWTEXT_CLOSE.get
+    # WORKER-LIFETIME token caches (module-level, size-capped below):
     # template-heavy pages repeat identical start-tag strings ~3x
-    # (measured on the reference example corpus): memoize the parsed
-    # (tag, attrs, selfclose) per raw token — a dict copy is ~10x
-    # cheaper than re-running the attribute regex
-    tag_cache: dict = {}
+    # WITHIN a page (measured on the reference example corpus) and far
+    # more often ACROSS pages of one crawl (one template serves
+    # thousands of pages), so the memo of parsed
+    # (tag, attrs, selfclose, relevance, itemscope) per raw token now
+    # survives the call: a reused Spark Python worker amortizes one
+    # attribute-regex parse per distinct template tag over the whole
+    # task (guide-§4.5 posture — heavyweight state once per worker).
+    # Tokenization of a start/end token is context-free, nothing
+    # mutates the cached attrs dicts (the walker's own per-attrs memo
+    # relies on exactly that aliasing), so cross-page sharing is safe.
+    tag_cache = _TAG_CACHE
+    if len(tag_cache) > _TOKEN_CACHE_MAX:
+        tag_cache.clear()
     tag_cache_get = tag_cache.get
     # end-tag token cache: slice-to-first-'>' → lowercased tag name,
     # or None for a remembered no-match (stray '</ …' text)
-    end_cache: dict = {}
+    end_cache = _END_CACHE
+    if len(end_cache) > _TOKEN_CACHE_MAX:
+        end_cache.clear()
     end_cache_get = end_cache.get
     while pos < n:
         lt = find("<", pos)
