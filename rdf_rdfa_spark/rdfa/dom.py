@@ -649,6 +649,9 @@ _unescape = _html_mod.unescape
 _TOKEN_CACHE_MAX = 1 << 16
 _TAG_CACHE: dict = {}
 _END_CACHE: dict = {}
+# sentinel under a slice key: this start-tag token crosses its first
+# '>' (quoted '>'), so the slice cannot determine it — run the regex
+_XGT = object()
 
 
 def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
@@ -722,12 +725,15 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
         # '<div<div<div…' with no '>' is a catastrophic-backtracking
         # bomb (measured minutes for 80 KB) without this guard.
         # The probe's gt also powers two regex-free fast paths:
-        #  - QUOTE-FREE start tags: with no quote chars in the slice,
-        #    the token provably ends at the first '>' (the quoted-attr
-        #    alternations can never engage to cross it), so the slice
-        #    IS the token and the tag cache can be probed directly.
-        #    Quote-bearing slices stay on the regex path — a quoted
-        #    '>' makes the naive slice a lie there.
+        #  - start tags: whether the token ends at the FIRST '>' is a
+        #    pure function of the slice up to it (the regex is
+        #    deterministic and, when it ends there, consumed only the
+        #    slice — same slice, same quote structure, same end), so
+        #    the slice keys the parsed-token cache directly.  The rare
+        #    token that crosses its first '>' (a quoted '>') is
+        #    remembered under the slice key as the _XGT sentinel: those
+        #    occurrences run the regex and cache the attr parse under
+        #    the FULL token string instead.
         #  - end tags: an end-tag token is fully determined by the
         #    slice up to the first '>' (its grammar admits no quoting
         #    and cannot cross a '>'), so parse-or-fail is cached.
@@ -736,9 +742,8 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
                 gt = find(">", lt + 1)
                 if gt != -1:
                     nraw = text[lt:gt + 1]
-                    if '"' not in nraw and "'" not in nraw:
-                        cached = tag_cache_get(nraw)
-                    if cached is not None:
+                    cached = tag_cache_get(nraw)
+                    if cached is not None and cached is not _XGT:
                         m = True
                     else:
                         m = start_match(text, lt)
@@ -813,12 +818,21 @@ def _fast_feed(tb: "_TreeBuilder", text: str) -> None:
             pos = lt + 1
             continue
         if kind == 1:
-            if m is True:  # quote-free slice hit the tag cache
+            if m is True:  # slice-keyed cache hit: token ends at gt
                 pos = gt + 1
             else:
                 pos = m.end()
                 raw = text[lt:pos]
-                cached = tag_cache_get(raw)
+                if pos == gt + 1:
+                    # first sighting of a first-'>'-terminated token:
+                    # parse below and cache under raw (== the slice)
+                    cached = None
+                else:
+                    # token crosses its first '>' — mark the slice so
+                    # later occurrences skip straight to the regex, and
+                    # memoize the attr parse under the full token
+                    tag_cache[nraw] = _XGT
+                    cached = tag_cache_get(raw)
             if cached is None:
                 start_tag, raw_attrs, selfclose = m.groups()
                 tag = start_tag.lower()
