@@ -411,12 +411,22 @@ def q_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies of every 10th doc under shifted ids —
-    guarantees the dedup path has work to do, deterministically."""
+    guarantees the dedup path has work to do, deterministically.
+
+    Built as ONE scan + a per-row id-shift generator rather than
+    union(docs, docs.filter(...)): the modulo predicate cannot push
+    down to parquet, so the union form read the full `text` column
+    twice (every dedup query pays the corpus scan 2x at crawl scale).
+    Row set is identical — same ids, same payloads."""
     docs = _docs(spark, sf_dir)
-    copies = docs.filter("doc_id % 10 = 0").selectExpr(
-        "doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+    return docs.select(
+        F.explode(
+            F.when(F.expr("doc_id % 10 = 0"),
+                   F.array(F.col("doc_id"), F.col("doc_id") + 1000000))
+            .otherwise(F.array(F.col("doc_id")))
+        ).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
     )
-    return docs.unionByName(copies)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
