@@ -594,10 +594,18 @@ def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ exact copies of every 10th vector under shifted
     ids — near-dup detection has deterministic work to do (the random
     synthetic vectors are mutually near-orthogonal)."""
+    # one scan + per-row id-shift generator (same rationale as
+    # _dup_corpus): the union form read the embedding column twice —
+    # the modulo predicate does not push down
     emb = _embeddings(spark, sf_dir)
-    copies = emb.filter("vec_id % 10 = 0").selectExpr(
-        "vec_id + 1000000 AS vec_id", "embedding", "label")
-    return emb.unionByName(copies)
+    return emb.select(
+        F.explode(
+            F.when(F.expr("vec_id % 10 = 0"),
+                   F.array(F.col("vec_id"), F.col("vec_id") + 1000000))
+            .otherwise(F.array(F.col("vec_id")))
+        ).alias("vec_id"),
+        "embedding", "label",
+    )
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
